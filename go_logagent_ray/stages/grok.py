@@ -1,0 +1,117 @@
+"""Grok parse stage — vectorized, stateful, actor-pool friendly (F1).
+
+Reimplements the reference's grok filter (``ref: filter/grok/`` [U-spec],
+SURVEY.md §2.2 F1) as a callable class for
+``Dataset.map_batches(GrokParser(...), batch_format="pyarrow",
+zero_copy_batch=True, concurrency=N)``:
+
+- ``__init__`` expands the grok pattern dictionary and compiles each
+  pattern ONCE per actor (the reference compiles once per process;
+  BASELINE.json:L6 "compiled pattern dictionaries cached in actor pools").
+- ``__call__`` runs ``pyarrow.compute.extract_regex`` (Arrow's RE2 engine,
+  vectorized, zero-copy input) per pattern, coalescing captures in pattern
+  order — logstash-grok "first match wins" semantics — and appends
+  ``_grokparsefailure`` to ``tags`` on rows no pattern matched (null text
+  counts as no match). The source column (default ``text``) is passed
+  through untouched: per-turn byte equality is an invariant
+  (BASELINE.json:L15).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.arrow_utils import append_tag, as_combined, set_column
+from ..functions.grok import CompiledGrok, compile_grok
+
+_CAST_ARROW = {"int": pa.int64(), "float": pa.float64(), "string": pa.string()}
+
+
+class GrokParser:
+    """Callable-class stage: compile once per actor, parse per batch."""
+
+    def __init__(
+        self,
+        patterns: str | list[str],
+        field: str = "text",
+        extra_patterns: dict[str, str] | None = None,
+        tag_on_failure: str = "_grokparsefailure",
+        tags_column: str = "tags",
+        overwrite: bool = True,
+    ):
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        self.field = field
+        self.tag_on_failure = tag_on_failure
+        self.tags_column = tags_column
+        self.compiled: list[CompiledGrok] = [
+            compile_grok(p, extra_patterns=extra_patterns) for p in patterns
+        ]
+        # RE2 via Arrow; validate eagerly so actor __init__ fails fast.
+        for cg in self.compiled:
+            re.compile(cg.regex)
+        # Union of capture names in first-seen order; casts merged.
+        self.capture_names: list[str] = []
+        self.casts: dict[str, str] = {}
+        for cg in self.compiled:
+            for name in cg.captures:
+                if name not in self.capture_names:
+                    self.capture_names.append(name)
+            self.casts.update(cg.casts)
+        self.overwrite = overwrite
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        col = as_combined(batch[self.field])
+
+        # Per-pattern extraction; None text -> null struct (no match).
+        extracted: list[pa.StructArray | None] = []
+        matched_any = np.zeros(n, dtype=bool)
+        matched_by: list[np.ndarray] = []
+        for cg in self.compiled:
+            try:
+                res = pc.extract_regex(col, pattern=cg.regex)
+            except pa.ArrowInvalid:
+                # Pattern not RE2-compatible → per-row Python fallback.
+                res = self._py_extract(col, cg)
+            m = pc.is_valid(res).to_numpy(zero_copy_only=False).astype(bool, copy=False)
+            matched_by.append(m & ~matched_any)
+            matched_any |= m
+            extracted.append(res)
+
+        # first-match-wins coalesce per capture name
+        for name in self.capture_names:
+            pieces: list[pa.Array] = []
+            for cg, res, use in zip(self.compiled, extracted, matched_by):
+                if name in cg.captures:
+                    vals = res.field(name)
+                    # blank out rows claimed by an earlier pattern
+                    pieces.append(pc.if_else(pa.array(use), vals, pa.nulls(n, pa.string())))
+            arr = pieces[0]
+            for p in pieces[1:]:
+                arr = pc.coalesce(arr, p)
+            cast = self.casts.get(name)
+            if cast and cast != "string":
+                arr = pc.cast(arr, _CAST_ARROW[cast])
+            if name not in batch.column_names or self.overwrite:
+                batch = set_column(batch, name, arr)
+
+        tags = batch[self.tags_column] if self.tags_column in batch.column_names else None
+        batch = set_column(
+            batch, self.tags_column, append_tag(tags, ~matched_any, self.tag_on_failure, n)
+        )
+        return batch
+
+    def _py_extract(self, col: pa.Array, cg: CompiledGrok) -> pa.StructArray:
+        """Python ``re`` fallback for patterns RE2 rejects (rare path)."""
+        rx = re.compile(cg.regex)
+        fields = [(name, pa.string()) for name in cg.captures]
+        out: list[dict | None] = []
+        for v in col.to_pylist():
+            m = rx.search(v) if v is not None else None
+            out.append({k: m.group(k) for k in cg.captures} if m else None)
+        return pa.array(out, type=pa.struct(fields))

@@ -1,0 +1,89 @@
+"""Unit tests for the grok compiler and parse stage (SURVEY.md §5.2.3 —
+mirrors the reference's per-plugin table tests, ref: filter/grok/*_test.go
+[U-arch])."""
+
+import pyarrow as pa
+import pytest
+
+from go_logagent_ray.functions.grok import BASE_PATTERNS, compile_grok
+from go_logagent_ray.stages.grok import GrokParser
+
+
+def test_compile_simple():
+    cg = compile_grok("%{INT:n}")
+    assert cg.captures == ["n"]
+    assert cg.regex == r"(?P<n>[+-]?(?:[0-9]+))"
+
+
+def test_compile_nested_and_cast():
+    cg = compile_grok("%{LOGLEVEL:lvl} x=%{INT:x:int}")
+    assert cg.captures == ["lvl", "x"]
+    assert cg.casts == {"x": "int"}
+
+
+def test_compile_unknown_pattern():
+    with pytest.raises(KeyError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_compile_duplicate_capture():
+    with pytest.raises(ValueError):
+        compile_grok("%{INT:x} %{INT:x}")
+
+
+def test_compile_extra_patterns():
+    cg = compile_grok("%{HEXPAIR:h}", extra_patterns={"HEXPAIR": "[0-9a-f]{2}"})
+    assert "[0-9a-f]{2}" in cg.regex
+
+
+def _table(texts):
+    return pa.table({"text": pa.array(texts, type=pa.string())})
+
+
+def test_grok_match_and_capture():
+    p = GrokParser("%{LOGLEVEL:lvl} %{WORD:comp} latency_ms=%{INT:ms:int}")
+    out = p(_table(["INFO worker latency_ms=42", "garbage line"]))
+    assert out["lvl"].to_pylist() == ["INFO", None]
+    assert out["comp"].to_pylist() == ["worker", None]
+    assert out["ms"].to_pylist() == [42, None]
+    assert out["ms"].type == pa.int64()
+    assert out["tags"].to_pylist() == [[], ["_grokparsefailure"]]
+
+
+def test_grok_null_and_empty_text():
+    p = GrokParser("%{WORD:w}")
+    out = p(_table([None, "", "ok"]))
+    assert out["w"].to_pylist() == [None, None, "ok"]
+    assert out["tags"].to_pylist() == [
+        ["_grokparsefailure"],
+        ["_grokparsefailure"],
+        [],
+    ]
+    # text passes through byte-identical incl. null vs ""
+    assert out["text"].to_pylist() == [None, "", "ok"]
+
+
+def test_grok_first_match_wins():
+    p = GrokParser(["a=%{INT:a:int}", "%{INT:b:int}"])
+    out = p(_table(["a=1", "7", "zzz"]))
+    assert out["a"].to_pylist() == [1, None, None]
+    assert out["b"].to_pylist() == [None, 7, None]
+    assert out["tags"].to_pylist() == [[], [], ["_grokparsefailure"]]
+
+
+def test_grok_shared_capture_coalesce():
+    p = GrokParser(["x %{INT:v}", "y %{WORD:v}"])
+    out = p(_table(["x 5", "y abc"]))
+    assert out["v"].to_pylist() == ["5", "abc"]
+
+
+def test_grok_appends_to_existing_tags():
+    p1 = GrokParser("a=%{INT:a}", tag_on_failure="fail_a")
+    p2 = GrokParser("b=%{INT:b}", tag_on_failure="fail_b")
+    out = p2(p1(_table(["a=1", "b=2", "c=3"])))
+    assert out["tags"].to_pylist() == [["fail_b"], ["fail_a"], ["fail_a", "fail_b"]]
+
+
+def test_base_patterns_all_compile():
+    for name in BASE_PATTERNS:
+        compile_grok(f"%{{{name}:x}}")

@@ -1,0 +1,141 @@
+"""Unit tests for patch, enrich, and route stages (SURVEY.md §5.2.3)."""
+
+import numpy as np
+import pyarrow as pa
+
+from go_logagent_ray.functions.arrow_utils import append_tag, has_tag, remove_tag
+from go_logagent_ray.stages.enrich import LookupEnrich
+from go_logagent_ray.stages.patch import PatchStage
+from go_logagent_ray.stages.route import RouteStage, split_to_sink
+
+
+def _batch():
+    return pa.table(
+        {
+            "role": ["user", "tool", "assistant", "system"],
+            "tool": ["", "bash", "search", ""],
+            "status": pa.array(["ok", "err", None, "timeout"], type=pa.string()),
+            "ts": pa.array(
+                np.array(
+                    ["2024-03-01T10:31:02", "2024-03-01T10:59:59",
+                     "2024-03-02T00:00:00", "2024-03-02T23:01:01"],
+                    dtype="datetime64[us]",
+                )
+            ),
+        }
+    )
+
+
+# ---- arrow_utils list kernels ----
+
+def test_append_tag_fresh_and_merge():
+    tags = append_tag(None, np.array([True, False, True]), "a", 3)
+    assert tags.to_pylist() == [["a"], [], ["a"]]
+    tags2 = append_tag(tags, np.array([False, True, True]), "b", 3)
+    assert tags2.to_pylist() == [["a"], ["b"], ["a", "b"]]
+
+
+def test_append_tag_null_lists_become_empty():
+    base = pa.array([["x"], None, []], type=pa.list_(pa.string()))
+    out = append_tag(base, np.array([False, True, False]), "t", 3)
+    assert out.to_pylist() == [["x"], ["t"], []]
+
+
+def test_remove_and_has_tag():
+    base = pa.array([["a", "b"], ["b"], []], type=pa.list_(pa.string()))
+    assert has_tag(base, "b").tolist() == [True, True, False]
+    out = remove_tag(base, "b")
+    assert out.to_pylist() == [["a"], [], []]
+
+
+# ---- patch ----
+
+def test_patch_add_static_and_interpolated():
+    p = PatchStage([
+        ("add_field", "pipe", "agentlog"),
+        ("add_field", "key", "%{role}/%{tool}@%{+%Y-%m-%d}"),
+    ])
+    out = p(_batch())
+    assert out["pipe"].to_pylist() == ["agentlog"] * 4
+    assert out["key"].to_pylist()[0] == "user/@2024-03-01"
+    assert out["key"].to_pylist()[1] == "tool/bash@2024-03-01"
+
+
+def test_patch_rename_remove_convert_timefloor():
+    p = PatchStage([
+        ("rename_field", "status", "st"),
+        ("time_floor", "ts", "ts_hour", "hour"),
+        ("add_field", "num", "42"),
+        ("convert", "num", "int"),
+        ("remove_field", "tool"),
+    ])
+    out = p(_batch())
+    assert "status" not in out.column_names and "st" in out.column_names
+    assert "tool" not in out.column_names
+    assert out["num"].to_pylist() == [42] * 4
+    assert [str(x) for x in out["ts_hour"].to_pylist()] == [
+        "2024-03-01 10:00:00", "2024-03-01 10:00:00",
+        "2024-03-02 00:00:00", "2024-03-02 23:00:00",
+    ]
+
+
+def test_patch_add_remove_tag():
+    p = PatchStage([("add_tag", "x"), ("add_tag", "y"), ("remove_tag", "x")])
+    out = p(_batch())
+    assert out["tags"].to_pylist() == [["y"]] * 4
+
+
+# ---- enrich ----
+
+def test_enrich_exact_wildcard_default():
+    lookup = {
+        ("user", ""): ("human", "t_user"),
+        ("tool", "bash"): ("exec", "t_tool"),
+    }
+    e = LookupEnrich(
+        lookup, key_fields=("role", "tool"),
+        value_names=("kind", "tag"), tag_value_index=1,
+        default=("unknown", "t_unknown"),
+    )
+    out = e(_batch())
+    # user/"" exact; tool/bash exact; assistant/search -> no exact, no
+    # wildcard -> default; system/"" -> no entry -> default
+    assert out["kind"].to_pylist() == ["human", "exec", "unknown", "unknown"]
+    assert out["tags"].to_pylist() == [["t_user"], ["t_tool"], ["t_unknown"], ["t_unknown"]]
+
+
+def test_enrich_wildcard_fallback():
+    lookup = {("assistant", ""): ("model", "t_a")}
+    e = LookupEnrich(lookup, value_names=("kind", "tag"), tag_value_index=1,
+                     default=("d", "t_d"))
+    out = e(_batch())
+    # assistant/search falls back to (assistant, "") wildcard
+    assert out["kind"].to_pylist() == ["d", "d", "model", "d"]
+
+
+# ---- route ----
+
+def test_route_total_disjoint_ordered():
+    rules = [
+        ("errors", [("in", "status", ["err", "timeout"])]),
+        ("tool_events", [("eq", "role", "tool")]),
+        ("tool_events", [("ne", "tool", "")]),
+        ("chat", [("in", "role", ["user", "assistant"])]),
+    ]
+    out = RouteStage(rules)(_batch())
+    # user/ok->chat; tool/err->errors (rule order!); assistant/null+search->
+    # tool_events; system/timeout->errors
+    assert out["route"].to_pylist() == ["chat", "errors", "tool_events", "errors"]
+
+
+def test_route_null_predicates_false_and_default():
+    rules = [("a", [("eq", "status", "nope")])]
+    out = RouteStage(rules, default_sink="dflt")(_batch())
+    assert out["route"].to_pylist() == ["dflt"] * 4
+
+
+def test_split_to_sink_partitions_rows():
+    rules = [("errors", [("in", "status", ["err", "timeout"])])]
+    routed = RouteStage(rules)(_batch())
+    n = sum(split_to_sink(routed, s).num_rows for s in ("errors", "default"))
+    assert n == routed.num_rows
