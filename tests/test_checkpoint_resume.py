@@ -1,0 +1,92 @@
+"""Checkpoint/resume tests (SURVEY.md §5.2.4): kill after K of P
+partitions commit; rerun; committed partitions are NOT re-parsed
+(manifest mtimes unchanged) and final sinks + counts equal a clean run."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from go_logagent_ray.state.checkpoint import (
+    Fragment,
+    committed_partitions,
+    config_hash,
+    list_fragments,
+    plan_partitions,
+    run_checkpointed,
+)
+
+
+def _transform(ds):
+    from go_logagent_ray.pipelines.transcript import parse_enrich_route
+
+    return parse_enrich_route(ds, batch_size=128)
+
+
+SPEC = {"pipeline": "flagship", "v": 1}
+
+
+def test_fragment_planning_deterministic(transcripts_parquet):
+    frags = list_fragments([transcripts_parquet], rgs_per_fragment=2)
+    assert frags == list_fragments([transcripts_parquet], rgs_per_fragment=2)
+    assert sum(f.rows for f in frags) == pq.ParquetFile(transcripts_parquet).metadata.num_rows
+    parts = plan_partitions(frags, rows_per_partition=128)
+    assert [f for p in parts for f in p] == frags  # order-preserving cover
+
+
+def test_partial_run_then_resume(ray_session, transcripts_parquet, tmp_path, oracle_result):
+    out = str(tmp_path / "ckpt")
+    # phase 1: "killed" after 2 partitions
+    r1 = run_checkpointed(
+        [transcripts_parquet], out, _transform, SPEC,
+        rows_per_partition=128, rgs_per_fragment=1, max_partitions=2,
+    )
+    assert r1["committed"] == 2 and r1["remaining"] > 0
+    mtimes = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out, "_manifest", "*.json"))
+    }
+    assert len(mtimes) == 2
+
+    # phase 2: resume to completion
+    r2 = run_checkpointed(
+        [transcripts_parquet], out, _transform, SPEC,
+        rows_per_partition=128, rgs_per_fragment=1,
+    )
+    assert r2["skipped"] == 2 and r2["remaining"] == 0
+    # committed partitions were not re-parsed: their manifests untouched
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t
+
+    # final sinks equal the oracle exactly
+    expected = {s: len(rows) for s, rows in oracle_result["sinks"].items() if rows}
+    got: dict[str, int] = {}
+    for sink_dir in glob.glob(os.path.join(out, "*")):
+        sink = os.path.basename(sink_dir)
+        if sink.startswith("_") or sink.startswith("."):
+            continue
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(sink_dir, "part-*", "*.parquet"))
+        )
+        got[sink] = n
+    assert got == expected
+    assert dict(r2["total_counts"]) == expected
+
+
+def test_config_change_invalidates_commits(ray_session, transcripts_parquet, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    run_checkpointed([transcripts_parquet], out, _transform, SPEC,
+                     rows_per_partition=256, max_partitions=1)
+    other = {"pipeline": "flagship", "v": 2}
+    assert committed_partitions(out, config_hash(SPEC))
+    assert not committed_partitions(out, config_hash(other))
+
+
+def test_leftover_staging_is_cleaned(ray_session, transcripts_parquet, tmp_path):
+    out = str(tmp_path / "ckpt3")
+    os.makedirs(os.path.join(out, ".tmp-part-0", "route=chat"), exist_ok=True)
+    r = run_checkpointed([transcripts_parquet], out, _transform, SPEC,
+                         rows_per_partition=10_000)
+    assert r["committed"] >= 1
+    assert not glob.glob(os.path.join(out, ".tmp-*"))
