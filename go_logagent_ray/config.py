@@ -1,0 +1,166 @@
+"""Declarative pipeline config + plugin registry (X1/X2, SURVEY.md §2.8).
+
+The reference selects plugins by ``{"type": "grok", ...}`` config parts
+registered under a type name (``ref: utils/config.go`` Regist*Handler
+[U-arch]); here a registry maps type names to stage factories and a config
+dict compiles to a chain of Dataset transforms:
+
+    pipe = Pipeline.from_config({
+        "input":   {"type": "parquet", "paths": [...]},
+        "filters": [{"type": "grok", "patterns": [...]},
+                    {"type": "patch", "ops": [...]},
+                    {"type": "enrich", ...},
+                    {"type": "route", "rules": [...]}],
+        "outputs": [{"type": "parquet", "path": out, "partition_cols": ["route"]}],
+    })
+    routed = pipe.transform(ds)       # or pipe.run() to read+write too
+
+New stage = ``@register_stage("name")`` on a factory returning either a
+callable (stateless tasks) or a class + ctor kwargs (actor pool when
+``concurrency`` is set in the config part).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from .stages.enrich import LookupEnrich
+from .stages.filters import DropStage, JsonParseStage
+from .stages.grok import GrokParser
+from .stages.patch import PatchStage
+from .stages.route import RouteStage
+
+STAGE_REGISTRY: dict[str, Callable[[dict], tuple]] = {}
+
+_MAP_OPTS = ("batch_size", "concurrency", "num_cpus")
+
+
+def register_stage(name: str):
+    def deco(factory):
+        STAGE_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
+
+@register_stage("grok")
+def _grok(conf: dict):
+    return GrokParser, {
+        "patterns": conf["patterns"],
+        "field": conf.get("field", "text"),
+        "extra_patterns": conf.get("extra_patterns"),
+        "tag_on_failure": conf.get("tag_on_failure", "_grokparsefailure"),
+    }
+
+
+@register_stage("patch")
+def _patch(conf: dict):
+    return PatchStage, {"ops": [tuple(op) for op in conf["ops"]]}
+
+
+@register_stage("enrich")
+def _enrich(conf: dict):
+    lookup = {tuple(k.split("\x1f")) if isinstance(k, str) else tuple(k): tuple(v)
+              for k, v in conf["lookup"].items()}
+    return LookupEnrich, {
+        "lookup": lookup,
+        "key_fields": tuple(conf.get("key_fields", ("role", "tool"))),
+        "value_names": tuple(conf.get("value_names", ("agent_kind",))),
+        "tag_value_index": conf.get("tag_value_index"),
+        "default": tuple(conf["default"]) if conf.get("default") else None,
+    }
+
+
+@register_stage("route")
+def _route(conf: dict):
+    rules = [(sink, [tuple(p) for p in preds]) for sink, preds in conf["rules"]]
+    return RouteStage, {"rules": rules, "default_sink": conf.get("default_sink", "default")}
+
+
+@register_stage("drop")
+def _drop(conf: dict):
+    return DropStage, {
+        "predicates": [tuple(p) for p in conf["predicates"]],
+        "mode": conf.get("mode", "drop"),
+    }
+
+
+@register_stage("json")
+def _json(conf: dict):
+    return JsonParseStage, {
+        "field": conf["field"],
+        "keys": conf["keys"],
+        "strict_json": conf.get("strict_json", False),
+        "prefix": conf.get("prefix", ""),
+    }
+
+
+class Pipeline:
+    """A compiled chain of map_batches stages + input/output specs."""
+
+    def __init__(self, input_spec: dict | None, stage_specs: list[tuple],
+                 output_specs: list[dict], config: dict):
+        self.input_spec = input_spec
+        self.stage_specs = stage_specs
+        self.output_specs = output_specs
+        self.config = config
+
+    @classmethod
+    def from_config(cls, config: dict) -> "Pipeline":
+        specs = []
+        for part in config.get("filters", []):
+            typ = part["type"]
+            if typ not in STAGE_REGISTRY:
+                raise KeyError(f"unknown filter type {typ!r}; registered: "
+                               f"{sorted(STAGE_REGISTRY)}")
+            fn_or_cls, kwargs = STAGE_REGISTRY[typ](part)
+            opts = {k: part[k] for k in _MAP_OPTS if k in part}
+            specs.append((fn_or_cls, kwargs, opts))
+        return cls(config.get("input"), specs, config.get("outputs", []), config)
+
+    def transform(self, ds):
+        """Apply the filter chain to a Dataset (lazy)."""
+        for fn_or_cls, kwargs, opts in self.stage_specs:
+            mb = dict(batch_format="pyarrow", zero_copy_batch=True)
+            mb.update(opts)
+            if isinstance(fn_or_cls, type) and "concurrency" in mb:
+                ds = ds.map_batches(fn_or_cls, fn_constructor_kwargs=kwargs, **mb)
+            else:
+                inst = fn_or_cls(**kwargs) if isinstance(fn_or_cls, type) else fn_or_cls
+                ds = ds.map_batches(inst, **mb)
+        return ds
+
+    def read(self):
+        import ray.data as rd
+
+        spec = self.input_spec or {}
+        typ = spec.get("type", "parquet")
+        if typ == "parquet":
+            return rd.read_parquet(spec["paths"], columns=spec.get("columns"))
+        if typ == "items":  # stdin-analog for tests/ad-hoc runs (S2)
+            return rd.from_items(spec["items"])
+        raise KeyError(f"unknown input type {typ!r}")
+
+    def run(self) -> dict[str, Any]:
+        """read → transform → write every output; returns the routed Dataset."""
+        routed = self.transform(self.read())
+        for out in self.output_specs:
+            typ = out["type"]
+            if typ == "parquet":
+                routed.write_parquet(out["path"],
+                                     partition_cols=out.get("partition_cols"))
+            elif typ == "json":
+                target = routed
+                if out.get("route"):
+                    from .stages.route import split_to_sink
+
+                    target = routed.map_batches(
+                        split_to_sink, fn_kwargs={"sink": out["route"]},
+                        batch_format="pyarrow")
+                target.write_json(out["path"])
+            elif typ == "stdout":  # debug sink (R2)
+                routed.show(out.get("limit", 10))
+            else:
+                raise KeyError(f"unknown output type {typ!r}")
+        return {"routed": routed}

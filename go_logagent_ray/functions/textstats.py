@@ -1,0 +1,134 @@
+"""Text-analysis kernels for training-data pipelines (all vectorized).
+
+Beyond the reference's scope (a log agent has no corpus analytics); these
+are the operations a 100 TB training-data pipeline needs, expressed as
+Arrow-kernel batch functions usable inside ``map_batches``:
+
+- token counting (regex word tokens, BPE-ish sub-token estimate)
+- quality scoring (length / punctuation / stopword / word-length stats)
+- language ID (vectorized stopword-hit + CJK-codepoint heuristic)
+- document fingerprinting (normalized content hash, vectorized via polars)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .arrow_utils import as_combined, set_column
+
+WORD_RE = r"[A-Za-z0-9]+"
+PUNCT_RE = r"[.,;:!?]"
+# BPE-ish: words are ~1 token per 4 chars, rounded up, min 1 per word
+BPE_CHARS_PER_TOKEN = 4
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "nicht", "das", "ist", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "y", "de", "que", "en", "los", "una", "por", "con"],
+}
+_LANG_PATTERNS = {
+    lang: r"(?i)\b(?:" + "|".join(words) + r")\b" for lang, words in STOPWORDS.items()
+}
+_CJK_RE = r"[\x{4e00}-\x{9fff}]"  # RE2 codepoint-class syntax
+
+
+def token_stats(batch: pa.Table, field: str = "text") -> pa.Table:
+    """Adds n_words:int64, n_chars_text:int64, est_tokens:int64."""
+    col = as_combined(batch[field])
+    n_words = pc.cast(pc.count_substring_regex(col, pattern=WORD_RE), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+    est = pc.cast(
+        pc.ceil(pc.divide(pc.cast(n_chars, pa.float64()), BPE_CHARS_PER_TOKEN)),
+        pa.int64(),
+    )
+    batch = set_column(batch, "n_words", n_words)
+    batch = set_column(batch, "n_chars_text", n_chars)
+    batch = set_column(batch, "est_tokens", pc.max_element_wise(est, n_words))
+    return batch
+
+
+def quality_stats(batch: pa.Table, field: str = "text") -> pa.Table:
+    """Adds n_punct, avg_word_len, stop_ratio_en, quality_score columns.
+
+    quality_score is a simple bounded heuristic in [0,1]: longer docs with
+    normal word lengths and some stopwords score higher — the standard
+    cheap pre-filter shape for corpus curation.
+    """
+    col = as_combined(batch[field])
+    n_words = pc.cast(pc.count_substring_regex(col, pattern=WORD_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(col, pattern=PUNCT_RE), pa.int64())
+    word_chars = pc.cast(
+        pc.utf8_length(
+            pc.replace_substring_regex(col, pattern=r"[^A-Za-z0-9]", replacement="")
+        ),
+        pa.int64(),
+    )
+    nw_f = pc.cast(pc.max_element_wise(n_words, 1), pa.float64())
+    avg_wl = pc.divide(pc.cast(word_chars, pa.float64()), nw_f)
+    stops = pc.cast(pc.count_substring_regex(col, pattern=_LANG_PATTERNS["en"]),
+                    pa.float64())
+    stop_ratio = pc.divide(stops, nw_f)
+
+    nw = nw_f.to_numpy(zero_copy_only=False)
+    awl = avg_wl.to_numpy(zero_copy_only=False)
+    sr = stop_ratio.to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore"):
+        score = (
+            np.clip(nw / 100.0, 0, 1) * 0.4
+            + np.where((awl >= 3) & (awl <= 10), 0.3, 0.0)
+            + np.clip(sr / 0.4, 0, 1) * 0.3
+        )
+    batch = set_column(batch, "n_punct", n_punct)
+    batch = set_column(batch, "avg_word_len", avg_wl)
+    batch = set_column(batch, "stop_ratio_en", stop_ratio)
+    batch = set_column(batch, "quality_score", pa.array(score, type=pa.float64()))
+    return batch
+
+
+def lang_id(batch: pa.Table, field: str = "text", out: str = "pred_lang") -> pa.Table:
+    """Vectorized n-gram/stopword language ID over {en,de,fr,es,zh}.
+
+    One count_substring_regex pass per language (alternation of its top
+    stopwords), CJK codepoint presence for zh; argmax wins, "und"
+    (undetermined) when nothing scores.
+    """
+    col = as_combined(batch[field])
+    n = batch.num_rows
+    langs = list(_LANG_PATTERNS)
+    scores = np.zeros((len(langs), n), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        c = pc.count_substring_regex(col, pattern=_LANG_PATTERNS[lang])
+        scores[i] = pc.cast(c, pa.float64()).to_numpy(zero_copy_only=False)
+    cjk = pc.cast(
+        pc.count_substring_regex(col, pattern=_CJK_RE), pa.float64()
+    ).to_numpy(zero_copy_only=False)
+
+    best = np.argmax(scores, axis=0)
+    best_score = scores[best, np.arange(n)]
+    pred = np.array(langs, dtype=object)[best]
+    pred[best_score <= 0] = "und"
+    pred[cjk > 0] = "zh"  # CJK presence dominates stopword hits
+    return set_column(batch, out, pa.array(pred, type=pa.string()))
+
+
+def fingerprint(batch: pa.Table, field: str = "text", out: str = "fp64") -> pa.Table:
+    """Deterministic 64-bit content fingerprint of normalized text.
+
+    Normalization: lowercase, collapse non-alphanumerics to single spaces,
+    trim. Hash: polars' vectorized 64-bit hash (stable within an
+    environment; use for intra-run dedup/bucketing, not cross-version
+    storage).
+    """
+    import polars as pl
+
+    col = as_combined(batch[field])
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(col), pattern=r"[^a-z0-9]+",
+                                   replacement=" ")
+    )
+    h = pl.from_arrow(norm).hash(seed=0)
+    arr = h.to_arrow().cast(pa.uint64())
+    return set_column(batch, out, arr)

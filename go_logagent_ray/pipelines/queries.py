@@ -1,0 +1,554 @@
+"""Driver-harness queries: every SURVEY.md §2 operator as a Ray pipeline
+over the driver testdata tables, each with a DuckDB oracle (FIXTURES.md §6).
+
+Naming contract: every computed/aggregate column is named IDENTICALLY in
+the Ray result and the SQL (the driver sorts columns by name and
+value-hashes). Ints preferred over floats in results; float sums are
+rounded identically on both sides.
+
+Ray is initialised by the driver before these callables run — nothing
+here calls ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.arrow_utils import as_combined, set_column
+from ..functions.textstats import fingerprint, lang_id, token_stats
+from ..stages.aggregate import counts_by, grouped_sum
+from ..stages.dedup import (
+    charset_jaccard_pairs,
+    distinct_count,
+    exact_keepers,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..stages.filters import DropStage, JsonParseStage
+from ..stages.grok import GrokParser
+from ..stages.patch import PatchStage
+from ..stages.route import RouteStage
+
+# ----------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# =================================================================== events
+
+K_PATTERN = '"k": %{INT:k_val:int}'
+
+
+def q_grok_parse_events(sf_dir: str):
+    """F1: grok named-capture extraction over events.props."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    ds = ds.map_batches(GrokParser(K_PATTERN, field="props"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["event_id", "k_val"])
+
+
+SQL_GROK_PARSE_EVENTS = r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT) AS k_val
+FROM events
+"""
+
+
+def q_json_sum_events(sf_dir: str):
+    """F4 + A1: JSON codec parse + grouped sum of the extracted value."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ds = ds.map_batches(JsonParseStage("props", {"k": "int"}),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum(ds, ["event_type"], "k", alias="sum_k")
+
+
+SQL_JSON_SUM_EVENTS = r"""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+EVENT_ROUTE_RULES = [
+    ("errors", [("eq", "event_type", "error")]),
+    ("activity", [("in", "event_type", ["click", "view"])]),
+    ("conversions", [("in", "event_type", ["signup", "purchase"])]),
+]
+
+
+def q_route_events(sf_dir: str):
+    """R1: conditional fan-out routing + per-sink counts."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    ds = ds.map_batches(RouteStage(EVENT_ROUTE_RULES, default_sink="default",
+                                   tags_column="_no_tags"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return counts_by(ds, ["route"], alias="n")
+
+
+SQL_ROUTE_EVENTS = """
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN event_type IN ('click','view') THEN 'activity'
+            WHEN event_type IN ('signup','purchase') THEN 'conversions'
+            ELSE 'default' END AS route,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_hourly_counts_events(sf_dir: str):
+    """A1: ts-hour bucketed grouped counts (pre-aggregated shuffle)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = ds.map_batches(PatchStage([("time_floor", "ts", "ts_hour", "hour")]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return counts_by(ds, ["event_type", "ts_hour"], alias="n")
+
+
+SQL_HOURLY_COUNTS_EVENTS = """
+SELECT event_type, date_trunc('hour', ts) AS ts_hour, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_filter_events(sf_dir: str):
+    """F5: vectorized predicate keep-filter."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    ds = ds.map_batches(
+        DropStage([("eq", "event_type", "click"), ("gt", "value", 20.0)],
+                  mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["event_id"])
+
+
+SQL_FILTER_EVENTS = """
+SELECT event_id FROM events WHERE event_type = 'click' AND value > 20.0
+"""
+
+
+def q_interpolate_events(sf_dir: str):
+    """F3: %{field} config-string interpolation (the reference's
+    LogEvent.Format feature) computing a per-event sink key."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    ds = ds.map_batches(
+        PatchStage([("add_field", "redis_key", "events/%{event_type}/%{user_id}")]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["event_id", "redis_key"])
+
+
+SQL_INTERPOLATE_EVENTS = """
+SELECT event_id,
+       'events/' || event_type || '/' || CAST(user_id AS VARCHAR) AS redis_key
+FROM events
+"""
+
+
+def q_union_events(sf_dir: str):
+    """O3: union of two filtered streams into one chain."""
+    clicks = _read(sf_dir, "events", ["event_id", "event_type"]) \
+        .map_batches(DropStage([("eq", "event_type", "click")], mode="keep"),
+                     batch_format="pyarrow")
+    signups = _read(sf_dir, "events", ["event_id", "event_type"]) \
+        .map_batches(DropStage([("eq", "event_type", "signup")], mode="keep"),
+                     batch_format="pyarrow")
+    return clicks.union(signups).select_columns(["event_id"])
+
+
+SQL_UNION_EVENTS = """
+SELECT event_id FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id FROM events WHERE event_type = 'signup'
+"""
+
+
+# ================================================== flagship on transcripts
+
+_LVL = {"error": "ERROR"}
+_ROLE = {"error": "tool", "click": "user", "signup": "system"}
+_TOOL = {"error": "search", "purchase": "bash"}
+
+
+def _events_to_transcripts(batch: pa.Table) -> pa.Table:
+    """Deterministic, SQL-mirrorable events→transcripts mapping (the
+    driver testdata has no transcripts table; this derives one)."""
+    et = as_combined(batch["event_type"])
+    uid = as_combined(batch["user_id"])
+    eid = as_combined(batch["event_id"])
+
+    def case(mapping: dict[str, str], default: str) -> pa.Array:
+        arr = pa.array(np.full(batch.num_rows, default, dtype=object),
+                       type=pa.string())
+        for key, val in mapping.items():
+            arr = pc.if_else(pc.equal(et, key), val, arr)
+        return arr
+
+    role = case(_ROLE, "assistant")
+    tool = case(_TOOL, "")
+    status = case({"error": "err"}, "ok")
+    lvl = case(_LVL, "INFO")
+    uid_s = pc.cast(uid, pa.string())
+    eid_s = pc.cast(eid, pa.string())
+    text = pc.binary_join_element_wise(
+        lvl, " executor conv=c", uid_s, " step=", eid_s,
+        " latency_ms=", eid_s, " status=", status, " :: payload", "")
+    return pa.table({
+        "conv_id": pc.binary_join_element_wise("c", uid_s, ""),
+        "turn_idx": pc.cast(eid, pa.int32()),
+        "role": role,
+        "text": text,
+        "tool": tool,
+        "ts": as_combined(batch["ts"]),
+    })
+
+
+def transcripts_from_events(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id", "ts"])
+    return ds.map_batches(_events_to_transcripts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_flagship_sink_counts(sf_dir: str):
+    """The full flagship chain (grok parse → patch → enrich → route) over
+    derived transcripts; per-sink aggregate counts. The SQL oracle routes
+    from the CONSTRUCTING fields, so any parse error breaks equality."""
+    from .transcript import parse_enrich_route
+
+    routed = parse_enrich_route(transcripts_from_events(sf_dir))
+    return counts_by(routed, ["route", "role", "tool", "ts_hour"], alias="n")
+
+
+SQL_FLAGSHIP_SINK_COUNTS = """
+WITH t AS (
+  SELECT CASE event_type WHEN 'error' THEN 'tool' WHEN 'click' THEN 'user'
+              WHEN 'signup' THEN 'system' ELSE 'assistant' END AS role,
+         CASE event_type WHEN 'error' THEN 'search' WHEN 'purchase' THEN 'bash'
+              ELSE '' END AS tool,
+         CASE WHEN event_type = 'error' THEN 'err' ELSE 'ok' END AS status,
+         ts
+  FROM events)
+SELECT CASE WHEN status IN ('err','timeout') THEN 'errors'
+            WHEN role = 'tool' OR tool <> '' THEN 'tool_events'
+            WHEN role IN ('user','assistant') THEN 'chat'
+            ELSE 'default' END AS route,
+       role, tool, date_trunc('hour', ts) AS ts_hour, COUNT(*) AS n
+FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_flagship_conv_counts(sf_dir: str):
+    """A1: per-conversation turn counts through the full chain."""
+    from .transcript import parse_enrich_route
+
+    routed = parse_enrich_route(transcripts_from_events(sf_dir))
+    return counts_by(routed, ["conv_id"], alias="n")
+
+
+SQL_FLAGSHIP_CONV_COUNTS = """
+SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ================================================================ documents
+
+
+def q_word_extract_docs(sf_dir: str):
+    """F1 on documents: first-word grok extraction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(GrokParser("%{WORD:first_word}", field="text"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "first_word"])
+
+
+SQL_WORD_EXTRACT_DOCS = r"""
+SELECT doc_id, regexp_extract(text, '\b\w+\b') AS first_word FROM documents
+"""
+
+
+LANG_REGION = {
+    ("en", ""): ("NA",),
+    ("de", ""): ("EU",),
+    ("fr", ""): ("EU",),
+    ("es", ""): ("LATAM",),
+    ("zh", ""): ("APAC",),
+}
+
+
+def q_enrich_docs(sf_dir: str):
+    """J1: broadcast lookup enrich (lang → region) + counts."""
+    from ..stages.enrich import LookupEnrich
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    ds = ds.map_batches(
+        LookupEnrich(LANG_REGION, key_fields=("lang", "source"),
+                     value_names=("region",), default=("other",)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return counts_by(ds, ["region"], alias="n")
+
+
+SQL_ENRICH_DOCS = """
+SELECT CASE lang WHEN 'en' THEN 'NA' WHEN 'de' THEN 'EU' WHEN 'fr' THEN 'EU'
+            WHEN 'es' THEN 'LATAM' WHEN 'zh' THEN 'APAC' ELSE 'other' END AS region,
+       COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats_docs(sf_dir: str):
+    """Text analysis: regex token counting + BPE-ish token estimate."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(token_stats, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "n_words", "est_tokens"])
+
+
+SQL_TOKEN_STATS_DOCS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+       GREATEST(CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT),
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)) AS est_tokens
+FROM documents
+"""
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Exact dedup: one keeper id per distinct text (hash-partitioned)."""
+    return exact_keepers(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_distinct_docs(sf_dir: str):
+    """COUNT(DISTINCT text) via hash partials."""
+    n = distinct_count(_read(sf_dir, "documents", ["text"]))
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
+
+
+SQL_DISTINCT_DOCS = """
+SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents
+"""
+
+
+def q_jaccard_pairs_docs(sf_dir: str):
+    """N-gram/charset Jaccard near-dup pairs, SQL-verifiable (mirrors
+    DuckDB's jaccard() = Jaccard over character sets) within
+    (lang, source) groups — the documented co-location assumption."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = charset_jaccard_pairs(ds, ["lang", "source"], threshold=0.95)
+    return pairs.select_columns(["doc_a", "doc_b"])
+
+
+SQL_JACCARD_PAIRS_DOCS = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= 0.95
+"""
+
+
+def q_langid_docs(sf_dir: str):
+    """Language-ID heuristic vs labeled lang: confusion counts.
+    (Heuristic — no SQL oracle; driver rows-only check.)"""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+    return counts_by(ds, ["lang", "pred_lang"], alias="n")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Content fingerprinting (normalized 64-bit hash; rows-only check)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "fp64"])
+
+
+def q_minhash_pairs_docs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only check; exactness tested in
+    pytest against a planted-duplicate fixture)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.7)
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs (rows-only check)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+# =============================================================== embeddings
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k ANN baseline: broadcast query matrix,
+    per-batch matmul + local top-k, per-query global reduce."""
+    from ..stages.ann import cosine_topk, load_queries
+
+    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_topk(ds, qids, qmat.astype(np.float64), k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid AS query_id, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT query_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate ANN (scale path; rows-only check —
+    recall vs brute force asserted in pytest)."""
+    from ..stages.ann import load_queries, lsh_topk
+
+    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, qids, qmat, k=10, dim=qmat.shape[1], n_planes=6,
+                    multiprobe=2).select_columns(["query_id", "vec_id", "rank"])
+
+
+# ==================================================================== tpch
+
+
+def q_lineitem_agg(sf_dir: str):
+    """A-family: multi-aggregate groupby with per-batch partials."""
+    from ray.data.aggregate import Sum, Count
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")])
+        return t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price", alias_name="sum_price"),
+                   Sum("n", alias_name="n"))
+
+    def int_exact(batch: pa.Table) -> pa.Table:
+        # floats never reach the driver's value-hash: quantities are
+        # integral doubles (exact cast); prices become rounded cents —
+        # pc.round and DuckDB ROUND disagree by 1 ulp on doubles, ints
+        # compare exactly.
+        batch = set_column(batch, "sum_qty",
+                           pc.cast(as_combined(batch["sum_qty"]), pa.int64()))
+        cents = pc.round(pc.multiply(as_combined(batch["sum_price"]), 100.0))
+        return set_column(batch, "sum_price_cents", pc.cast(cents, pa.int64())) \
+            .drop_columns(["sum_price"])
+
+    return out.map_batches(int_exact, batch_format="pyarrow")
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT) AS sum_price_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    """O2: global top-k by sort + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_broadcast_join(sf_dir: str):
+    """J1 at TPC-H shape: small dimension (customer) broadcast into a
+    map_batches lookup against the fact table — no shuffle join."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust["c_custkey"].combine_chunks()
+    vals = cust["c_mktsegment"].combine_chunks()
+
+    def join(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(as_combined(batch["o_custkey"]), value_set=keys)
+        return batch.append_column("c_mktsegment", pc.take(vals, idx))
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    ds = ds.map_batches(join, batch_format="pyarrow", zero_copy_batch=True)
+    return counts_by(ds, ["c_mktsegment"], alias="n")
+
+
+SQL_BROADCAST_JOIN = """
+SELECT c.c_mktsegment, COUNT(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+# ================================================================ registry
+
+QUERIES = {
+    "grok_parse_events": q_grok_parse_events,
+    "json_sum_events": q_json_sum_events,
+    "route_events": q_route_events,
+    "hourly_counts_events": q_hourly_counts_events,
+    "filter_events": q_filter_events,
+    "interpolate_events": q_interpolate_events,
+    "union_events": q_union_events,
+    "flagship_sink_counts": q_flagship_sink_counts,
+    "flagship_conv_counts": q_flagship_conv_counts,
+    "word_extract_docs": q_word_extract_docs,
+    "enrich_docs": q_enrich_docs,
+    "token_stats_docs": q_token_stats_docs,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "distinct_docs": q_distinct_docs,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
+    "langid_docs": q_langid_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "minhash_pairs_docs": q_minhash_pairs_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "lineitem_agg": q_lineitem_agg,
+    "topk_orders": q_topk_orders,
+    "broadcast_join": q_broadcast_join,
+}
+
+ORACLE_SQL = {
+    "grok_parse_events": SQL_GROK_PARSE_EVENTS,
+    "json_sum_events": SQL_JSON_SUM_EVENTS,
+    "route_events": SQL_ROUTE_EVENTS,
+    "hourly_counts_events": SQL_HOURLY_COUNTS_EVENTS,
+    "filter_events": SQL_FILTER_EVENTS,
+    "interpolate_events": SQL_INTERPOLATE_EVENTS,
+    "union_events": SQL_UNION_EVENTS,
+    "flagship_sink_counts": SQL_FLAGSHIP_SINK_COUNTS,
+    "flagship_conv_counts": SQL_FLAGSHIP_CONV_COUNTS,
+    "word_extract_docs": SQL_WORD_EXTRACT_DOCS,
+    "enrich_docs": SQL_ENRICH_DOCS,
+    "token_stats_docs": SQL_TOKEN_STATS_DOCS,
+    "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+    "distinct_docs": SQL_DISTINCT_DOCS,
+    "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
+    "ann_topk": SQL_ANN_TOPK,
+    "lineitem_agg": SQL_LINEITEM_AGG,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    # langid_docs / fingerprint_docs / minhash_pairs_docs /
+    # simhash_pairs_docs / ann_lsh: heuristic or hash-based — rows-only.
+}

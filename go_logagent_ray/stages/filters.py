@@ -1,0 +1,131 @@
+"""Predicate drop filter (F5) and JSON codec parse (F4).
+
+- ``DropStage`` mirrors the filter-family conditional drop ([U-arch],
+  SURVEY.md §2.2 F5): rows matching (or not matching) a predicate list are
+  removed, vectorized via the same predicate mini-language as the router.
+- ``JsonParseStage`` is the parse side of the reference's JSON codec
+  (``ref: utils/logevent.go`` Marshal/[U-arch], SURVEY.md §2.2 F4): a
+  string column of JSON objects → typed columns for the requested keys.
+  Flat ``{"key": scalar}`` payloads use a vectorized regex fast path
+  (pc.extract_regex); anything else falls back to ``json.loads`` per row
+  (documented cost — keep off the 100 TB hot path or restrict to the
+  fast-path shape).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.arrow_utils import as_combined, bool_mask_numpy, has_tag, set_column
+
+_CAST = {"int": pa.int64(), "float": pa.float64(), "string": pa.string(), "bool": pa.bool_()}
+
+
+def pred_mask(batch: pa.Table, pred: tuple, tags_column: str = "tags") -> np.ndarray:
+    """Shared predicate evaluator (same mini-language as RouteStage)."""
+    kind = pred[0]
+    if kind == "has_tag":
+        return has_tag(batch[tags_column], pred[1])
+    field = pred[1]
+    if field not in batch.column_names:
+        return np.zeros(batch.num_rows, dtype=bool)
+    col = as_combined(batch[field])
+    if kind == "eq":
+        return bool_mask_numpy(pc.equal(col, pred[2]))
+    if kind == "ne":
+        return bool_mask_numpy(pc.not_equal(col, pred[2]))
+    if kind == "in":
+        return bool_mask_numpy(pc.is_in(col, value_set=pa.array(pred[2], type=col.type)))
+    if kind == "lt":
+        return bool_mask_numpy(pc.less(col, pred[2]))
+    if kind == "gt":
+        return bool_mask_numpy(pc.greater(col, pred[2]))
+    if kind == "not_null":
+        return bool_mask_numpy(pc.is_valid(col))
+    if kind == "is_null":
+        return bool_mask_numpy(pc.is_null(col))
+    if kind == "match":
+        return bool_mask_numpy(pc.match_substring_regex(col, pred[2]))
+    raise ValueError(f"unknown predicate {kind!r}")
+
+
+class DropStage:
+    """Drop rows where ALL predicates hold (or keep them, inverted)."""
+
+    def __init__(self, predicates: list[tuple], mode: str = "drop",
+                 tags_column: str = "tags"):
+        if mode not in ("drop", "keep"):
+            raise ValueError("mode must be 'drop' or 'keep'")
+        self.predicates = predicates
+        self.mode = mode
+        self.tags_column = tags_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = np.ones(batch.num_rows, dtype=bool)
+        for pred in self.predicates:
+            m &= pred_mask(batch, pred, self.tags_column)
+        keep = m if self.mode == "keep" else ~m
+        return batch.filter(pa.array(keep))
+
+
+class JsonParseStage:
+    """Parse a JSON-string column into typed columns.
+
+    ``keys``: dict key → ("int"|"float"|"string"|"bool"). Fast path: every
+    requested key extracted with one compiled regex per key (valid for
+    flat objects with scalar values). ``strict_json=True`` forces
+    json.loads per row (handles nesting/escapes exactly).
+    """
+
+    def __init__(self, field: str, keys: dict[str, str], strict_json: bool = False,
+                 prefix: str = ""):
+        self.field = field
+        self.keys = keys
+        self.strict = strict_json
+        self.prefix = prefix
+        # One named group capturing the raw value (quotes included when
+        # quoted) — Arrow's extract_regex forbids unnamed groups and
+        # returns "" (not null) for non-participating alternates, so a
+        # single always-participating group + quote-strip is the safe shape.
+        self.regexes = {
+            k: f'"{re.escape(k)}"\\s*:\\s*(?P<val>"[^"]*"|[^,}}\\s]+)'
+            for k in keys
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = as_combined(batch[self.field])
+        n = batch.num_rows
+        if self.strict:
+            parsed = [json.loads(v) if v else None for v in col.to_pylist()]
+            for k, typ in self.keys.items():
+                vals = [None if p is None else p.get(k) for p in parsed]
+                arr = pa.array(vals)
+                if typ != "string" or arr.type == pa.null():
+                    arr = arr.cast(_CAST[typ]) if arr.type != _CAST[typ] else arr
+                batch = set_column(batch, self.prefix + k, arr)
+            return batch
+        for k, typ in self.keys.items():
+            res = pc.extract_regex(col, pattern=self.regexes[k])
+            raw = pc.struct_field(res, "val")
+            arr = pc.replace_substring_regex(raw, pattern='^"|"$', replacement="")
+            if typ != "string":
+                arr = pc.cast(arr, _CAST[typ])
+            batch = set_column(batch, self.prefix + k, arr)
+        return batch
+
+
+def to_json_lines(batch: pa.Table, drop_columns: list[str] | None = None) -> pa.Table:
+    """Marshal rows to flat JSON strings (the reference's output-side codec).
+
+    Returns a one-column table ``json:string``; used by JSON sinks.
+    """
+    t = batch.drop_columns(drop_columns) if drop_columns else batch
+    lines = [
+        json.dumps(row, default=str, separators=(",", ":")) for row in t.to_pylist()
+    ]
+    return pa.table({"json": pa.array(lines, type=pa.string())})

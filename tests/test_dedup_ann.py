@@ -1,0 +1,129 @@
+"""Dedup family + ANN tests with planted duplicates / known neighbors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    """60 base docs + exact dups + near dups (one word changed)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vocab = np.array("alpha beta gamma delta epsilon zeta eta theta iota kappa".split())
+    base = [" ".join(vocab[rng.integers(0, 10, size=30)]) for _ in range(60)]
+    texts = list(base)
+    texts.append(base[0])                    # exact dup of 0 -> id 60
+    texts.append(base[1])                    # exact dup of 1 -> id 61
+    near = base[2].split(); near[5] = "omega"
+    texts.append(" ".join(near))             # near dup of 2 -> id 62
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    return rd.from_arrow(t), texts
+
+
+def test_exact_keepers_and_distinct(docs_with_dups):
+    from go_logagent_ray.stages.dedup import distinct_count, exact_keepers
+
+    ds, texts = docs_with_dups
+    keepers = sorted(r["doc_id"] for r in exact_keepers(ds).take_all())
+    # 63 rows, 2 exact dups -> 61 keepers, none of which are 60/61
+    assert len(keepers) == 61
+    assert 60 not in keepers and 61 not in keepers
+    assert distinct_count(ds) == 61
+
+
+def test_exact_dedup_keeps_full_rows(docs_with_dups):
+    from go_logagent_ray.stages.dedup import exact_dedup
+
+    ds, texts = docs_with_dups
+    rows = exact_dedup(ds).take_all()
+    assert len(rows) == 61
+    kept_texts = sorted(r["text"] for r in rows)
+    assert kept_texts == sorted(set(texts))
+
+
+def test_minhash_finds_planted_pairs(docs_with_dups):
+    from go_logagent_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_with_dups
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(ds, threshold=0.6).take_all()}
+    assert (0, 60) in pairs
+    assert (1, 61) in pairs
+    assert (2, 62) in pairs  # near dup: ~27/28 shingles shared
+
+
+def test_simhash_finds_exact_and_near(docs_with_dups):
+    from go_logagent_ray.stages.dedup import simhash_pairs
+
+    ds, _ = docs_with_dups
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             simhash_pairs(ds, max_hamming=3).take_all()}
+    assert (0, 60) in pairs and (1, 61) in pairs
+
+
+def test_minhash_deterministic_across_runs(docs_with_dups):
+    from go_logagent_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_with_dups
+    a = sorted((r["doc_a"], r["doc_b"]) for r in
+               minhash_lsh_pairs(ds, threshold=0.6).take_all())
+    b = sorted((r["doc_a"], r["doc_b"]) for r in
+               minhash_lsh_pairs(ds, threshold=0.6).take_all())
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1), type=pa.float32()), d)
+    t = pa.table({"vec_id": pa.array(range(n), type=pa.int64()),
+                  "embedding": emb})
+    return rd.from_arrow(t), mat
+
+
+def _exact_topk(mat, q, k):
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm[q]
+    order = [(i, s) for i, s in enumerate(sims) if i != q]
+    order.sort(key=lambda x: (-x[1], x[0]))
+    return [i for i, _ in order[:k]]
+
+
+def test_cosine_topk_exact(embeddings_ds):
+    from go_logagent_ray.stages.ann import cosine_topk
+
+    ds, mat = embeddings_ds
+    out = cosine_topk(ds, np.array([0, 1, 2]), mat[:3], k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 1, 2):
+        got = [v for _, v in sorted(by_q[q])]
+        assert got == _exact_topk(mat, q, 5), q
+
+
+def test_lsh_topk_recall(embeddings_ds):
+    from go_logagent_ray.stages.ann import lsh_topk
+
+    ds, mat = embeddings_ds
+    qids = np.arange(10)
+    out = lsh_topk(ds, qids, mat[:10], k=10, dim=mat.shape[1],
+                   n_planes=4, multiprobe=4).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for q in range(10):
+        exact = set(_exact_topk(mat, q, 10))
+        got = by_q.get(q, set())
+        recalls.append(len(exact & got) / 10)
+    # approximate by design; with 4 planes + multiprobe 4 recall is decent
+    assert np.mean(recalls) >= 0.5, recalls

@@ -1,0 +1,164 @@
+"""Text analysis, multimodal plumbing, and config/registry tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---- textstats (pure batch functions, no Ray needed) ----
+
+def _docs():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [
+            "the cat and the dog, of course!",
+            "der hund und die katze ist nicht da",
+            "le chat et la maison dans les arbres",
+            "",
+        ],
+    })
+
+
+def test_token_stats():
+    from go_logagent_ray.functions.textstats import token_stats
+
+    out = token_stats(_docs())
+    assert out["n_words"].to_pylist() == [7, 8, 8, 0]
+    assert out["n_chars_text"].to_pylist()[3] == 0
+    # est_tokens >= n_words always
+    assert all(a >= b for a, b in zip(out["est_tokens"].to_pylist(),
+                                      out["n_words"].to_pylist()))
+
+
+def test_quality_stats():
+    from go_logagent_ray.functions.textstats import quality_stats
+
+    out = quality_stats(_docs())
+    assert out["n_punct"].to_pylist() == [2, 0, 0, 0]
+    scores = out["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[3]  # english prose beats empty string
+
+
+def test_lang_id():
+    from go_logagent_ray.functions.textstats import lang_id
+
+    t = pa.table({"text": [
+        "the cat and the dog is in the house",
+        "der hund und die katze ist nicht hier",
+        "le chat et la maison dans les arbres est",
+        "el perro y la casa que en los arboles",
+        "这是一个中文句子",
+        "zzz qqq xxx",
+    ]})
+    out = lang_id(t)
+    assert out["pred_lang"].to_pylist() == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_fingerprint_normalization():
+    from go_logagent_ray.functions.textstats import fingerprint
+
+    t = pa.table({"text": ["Hello,   World!", "hello world", "other text"]})
+    out = fingerprint(t)["fp64"].to_pylist()
+    assert out[0] == out[1]  # case/punct/whitespace-insensitive
+    assert out[0] != out[2]
+
+
+# ---- multimodal plumbing (stubbed decode) ----
+
+def test_media_feature_stage_runs_as_actor_pool(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.multimodal import ImageFeatureStage, gen_media_table
+
+    t = gen_media_table(32, payload_bytes=1024)
+    ds = rd.from_arrow(t).map_batches(
+        ImageFeatureStage, fn_constructor_kwargs={"decode": "fake"},
+        batch_format="pyarrow", batch_size=8, concurrency=2)
+    rows = ds.take_all()
+    assert len(rows) == 32
+    assert all(len(r["features"]) == 16 for r in rows)
+    # deterministic fake: same payload -> same features across runs
+    rows2 = rd.from_arrow(t).map_batches(
+        ImageFeatureStage, fn_constructor_kwargs={"decode": "fake"},
+        batch_format="pyarrow", batch_size=8, concurrency=2).take_all()
+    f1 = {r["media_id"]: list(r["features"]) for r in rows}
+    f2 = {r["media_id"]: list(r["features"]) for r in rows2}
+    assert f1 == f2
+
+
+def test_media_strict_decode_raises():
+    from go_logagent_ray.stages.multimodal import ImageFeatureStage, gen_media_table
+
+    stage = ImageFeatureStage(decode="strict")
+    with pytest.raises(NotImplementedError):
+        stage(gen_media_table(2))
+
+
+def test_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.multimodal import FrameSampleStage, gen_media_table
+
+    ds = rd.from_arrow(gen_media_table(8)).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"n_frames": 4},
+        batch_format="pyarrow", batch_size=4, concurrency=2)
+    rows = ds.take_all()
+    assert len(rows) == 32  # 8 media x 4 frames
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2, 3}
+
+
+# ---- config / registry (X1/X2) ----
+
+def test_pipeline_from_config_end_to_end(ray_session, transcripts_parquet, tmp_path):
+    from go_logagent_ray.config import Pipeline
+    from go_logagent_ray.oracle import GROK_PATTERNS
+
+    out = str(tmp_path / "cfg_out")
+    pipe = Pipeline.from_config({
+        "input": {"type": "parquet", "paths": [transcripts_parquet]},
+        "filters": [
+            {"type": "grok", "patterns": GROK_PATTERNS},
+            {"type": "patch", "ops": [["add_field", "pipeline_id", "agentlog"],
+                                      ["time_floor", "ts", "ts_hour", "hour"]]},
+            {"type": "route", "rules": [
+                ["errors", [["in", "status", ["err", "timeout"]]]],
+                ["chat", [["in", "role", ["user", "assistant"]]]],
+            ]},
+        ],
+        "outputs": [{"type": "parquet", "path": out, "partition_cols": ["route"]}],
+    })
+    res = pipe.run()
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(d).num_rows for d in glob.glob(out + "/route=*"))
+    assert total == pq.ParquetFile(transcripts_parquet).metadata.num_rows
+
+
+def test_unknown_stage_type_fails_fast():
+    from go_logagent_ray.config import Pipeline
+
+    with pytest.raises(KeyError):
+        Pipeline.from_config({"filters": [{"type": "nope"}]})
+
+
+def test_custom_stage_registration(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.config import Pipeline, register_stage
+
+    @register_stage("upper_text")
+    def _upper(conf):
+        import pyarrow.compute as pc
+
+        def fn(batch):
+            return batch.set_column(
+                batch.schema.get_field_index("text"), "text",
+                pc.utf8_upper(batch["text"]))
+        return fn, {}
+
+    pipe = Pipeline.from_config({"filters": [{"type": "upper_text"}]})
+    ds = rd.from_items([{"text": "abc"}])
+    assert pipe.transform(ds).take_all()[0]["text"] == "ABC"
