@@ -1,0 +1,234 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+    python bench.py             # $GRAFT_SF_DIR (default sf0.1), $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 and 32 CPUs in fresh
+                                # processes; reports throughputs + scaling
+                                # efficiency (the sandbox stand-in for the
+                                # N vs 4N-node criterion, BASELINE.json:L14)
+
+Headline = the flagship parse→enrich→route→write+aggregate pipeline over a
+deterministic synthetic transcript table sized to the scale factor
+(~600k rows at sf0.1 — the testdata has no transcripts table; the
+generator is seeded so every run and both scaling arms see identical
+input). Secondary queries cover the other operator families.
+
+This script OWNS its Ray session (init/shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TMP = os.environ.get("GRAFT_BENCH_TMP", "/tmp/graft_bench")
+
+# rows ~ 600k at sf0.1 (6M turns/sf unit), matching BASELINE.md's target
+_SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+
+
+def _sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) or "sf0.1"
+
+
+def transcripts_path(mult: int = 1) -> str:
+    """Generate (once, cached) the deterministic transcript input.
+
+    ``mult`` tiles the base table with distinct conv_id suffixes
+    (vectorized Arrow concat — skew and text distribution preserved).
+    The scaling run uses a multiplied input so the job is COMPUTE-bound:
+    the graded criterion models a 10^12-turn cluster job where per-job
+    fixed costs are negligible; at sf0.1's 600k rows those fixed ~5 s
+    would swamp the signal on one node.
+    """
+    from go_logagent_ray.fixtures import gen_transcripts
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(BENCH_TMP, exist_ok=True)
+    sf = _sf_name()
+    target_rows = _SF_ROWS.get(sf, 600_000)
+    base = os.path.join(BENCH_TMP, f"transcripts_{sf}")
+    done = os.path.join(base, "_DONE")
+    if not os.path.exists(done):
+        # mean_turns=12 incl. hot-conv skew → n_convs ≈ rows / (12*2)
+        # (hot 1% at 100× inflates the mean); calibrated factor ≈ 24.
+        # Sharded into multiple files: Ray assigns ONE read task per
+        # parquet file, so a single-file input serializes the read stage
+        # (measured: 8 and 32 CPUs identical) — never bench on one file.
+        t = gen_transcripts(max(50, target_rows // 24), mean_turns=12,
+                            seed=42, hot_frac=0.01)
+        os.makedirs(base, exist_ok=True)
+        shards = 8
+        step = (t.num_rows + shards - 1) // shards
+        for i in range(shards):
+            pq.write_table(t.slice(i * step, step),
+                           os.path.join(base, f"part-{i:04d}.parquet"),
+                           row_group_size=32 * 1024)
+        open(done, "w").close()
+    if mult <= 1:
+        return base
+    path = os.path.join(BENCH_TMP, f"transcripts_{sf}_x{mult}")
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        files = sorted(f for f in os.listdir(base) if f.endswith(".parquet"))
+        n = 0
+        for i in range(mult):
+            for f in files:
+                t = pq.read_table(os.path.join(base, f))
+                conv = pc.binary_join_element_wise(
+                    t["conv_id"].combine_chunks(), f"r{i}", "-")
+                pq.write_table(t.set_column(0, "conv_id", conv),
+                               os.path.join(path, f"part-{n:04d}.parquet"),
+                               row_group_size=32 * 1024)
+                n += 1
+        open(done, "w").close()
+    return path
+
+
+SCALE_MULT = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+
+
+def bench_flagship(out_root: str) -> dict:
+    import shutil
+
+    from go_logagent_ray.pipelines.transcript import (
+        flagship_counts,
+        parse_enrich_route,
+    )
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    path = transcripts_path(SCALE_MULT)
+    n_rows = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                 for f in os.listdir(path) if f.endswith(".parquet"))
+    out = os.path.join(out_root, "flagship_sinks")
+    shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(path)
+    # stateless parse tasks (pattern compile is ~2 ms; pool startup costs
+    # seconds), block-sized batches, no min_rows_per_file (its cross-task
+    # buffering serializes the sink — measured)
+    routed = parse_enrich_route(ds, parse_concurrency=None, batch_size=None)
+    routed.write_parquet(out, partition_cols=["route"])
+    # aggregates from the written (already-parsed) sinks, column-pruned,
+    # BOTH views in one pass + one shuffle (fused partial counts)
+    written = rd.read_parquet(out, columns=["route", "role", "tool", "ts_hour",
+                                            "conv_id"])
+    n_groups = flagship_counts(written).count()
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "rows": n_rows, "rows_per_sec": n_rows / sec,
+            "agg_groups": n_groups}
+
+
+def bench_queries() -> dict[str, float]:
+    """Secondary operator-family pipelines over the driver testdata."""
+    from go_logagent_ray.pipelines import queries as Q
+
+    picks = [
+        "hourly_counts_events",   # parse-free grouped counts
+        "json_sum_events",        # JSON codec + grouped sum
+        "lineitem_agg",           # multi-agg partials (600k rows at sf0.1)
+        "broadcast_join",         # broadcast dim join
+        "dedup_exact_docs",       # content-hash dedup
+        "minhash_pairs_docs",     # MinHash LSH near-dup
+        "token_stats_docs",       # text analysis kernels
+        "ann_topk",               # brute-force cosine top-k
+    ]
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        res = Q.QUERIES[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the lazy Dataset
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        # warm the page cache so both scaling arms measure compute, not
+        # first-touch disk reads
+        d = transcripts_path(SCALE_MULT)
+        for name in os.listdir(d):
+            if name.endswith(".parquet"):
+                with open(os.path.join(d, name), "rb") as f:
+                    while f.read(1 << 24):
+                        pass
+        flagship = bench_flagship(BENCH_TMP)
+        queries = {} if os.environ.get("GRAFT_BENCH_QUICK") else bench_queries()
+        return {
+            "metric": "flagship parse→route→aggregate wall time",
+            "value": round(flagship["sec"], 3),
+            "unit": "sec",
+            "queries": {"flagship": round(flagship["sec"], 3), **queries},
+            "sf": _sf_name(),
+            "num_cpus": NUM_CPUS,
+            "rows": flagship["rows"],
+            "turns_per_sec": round(flagship["rows_per_sec"], 1),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Fresh process per parallelism level — the two-cluster-size stand-in."""
+    mult = int(os.environ.get("GRAFT_SCALE_MULT", "48"))
+    # input + sinks on tmpfs: the virtio disk's variable bandwidth
+    # otherwise swamps the signal (a real cluster's storage bandwidth
+    # scales with nodes; one VM disk does not)
+    tmp = os.environ.get("GRAFT_SCALING_TMP", "/dev/shm/graft_bench")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALE_MULT=str(mult), GRAFT_BENCH_QUICK="1",
+                   GRAFT_BENCH_TMP=tmp)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # two reps per arm, keep the min — single-node noise (page cache,
+    # background flush) is one-sided
+    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
+    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency 8→32 CPUs (flagship)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "rows": r_hi["rows"],
+        "scale_mult": mult,
+        "sf": r_hi["sf"],
+        "queries": {"flagship_8cpu": t_lo, "flagship_32cpu": t_hi},
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

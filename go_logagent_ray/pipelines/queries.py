@@ -417,6 +417,60 @@ def q_ann_lsh(sf_dir: str):
                     multiprobe=2).select_columns(["query_id", "vec_id", "rank"])
 
 
+# ========================================================= windowed (W)
+
+
+def q_conv_gap_stats(sf_dir: str):
+    """Per-key ordered window stats (max inter-event gap): groupby(key) +
+    in-group sort — the streaming-window custom operator. Partitioning
+    assumption: all rows of a key in one group (unsalted)."""
+    from ..stages.window import conv_gap_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return conv_gap_stats(ds, key="user_id", ts="ts", order="event_id")
+
+
+SQL_CONV_GAP_STATS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events)
+SELECT user_id, COUNT(*) AS n_turns,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+_SESSION_GAP_US = 12 * 3600 * 1_000_000
+
+
+def q_session_windows(sf_dir: str):
+    """Session windowing (gaps-and-islands) per key with a 12 h gap."""
+    from ..stages.window import session_windows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return session_windows(ds, key="user_id", ts="ts", order="event_id",
+                           gap_us=_SESSION_GAP_US)
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH g AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY event_id)
+                   > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_turns,
+       CAST(MIN(t) AS BIGINT) AS start_us, CAST(MAX(t) AS BIGINT) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
 # ==================================================================== tpch
 
 
@@ -522,6 +576,8 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
+    "conv_gap_stats": q_conv_gap_stats,
+    "session_windows": q_session_windows,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "lineitem_agg": q_lineitem_agg,
@@ -545,6 +601,8 @@ ORACLE_SQL = {
     "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
     "distinct_docs": SQL_DISTINCT_DOCS,
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
+    "conv_gap_stats": SQL_CONV_GAP_STATS,
+    "session_windows": SQL_SESSION_WINDOWS,
     "ann_topk": SQL_ANN_TOPK,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "topk_orders": SQL_TOPK_ORDERS,

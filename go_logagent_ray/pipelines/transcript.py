@@ -97,6 +97,18 @@ def parse_enrich_route(
     return ds
 
 
+def flagship_counts(written: Dataset) -> Dataset:
+    """Both aggregate views (per-sink and per-conv) in ONE pass + ONE
+    shuffle via fused partial counts; filter on ``_agg`` to split."""
+    from ..stages.aggregate import fused_counts
+
+    return fused_counts(
+        written,
+        {"sink": ["route", "role", "tool", "ts_hour"], "conv": ["conv_id"]},
+        alias="n",
+    )
+
+
 def write_sinks(routed: Dataset, out_dir: str) -> None:
     """One streaming pass: hive-partitioned parquet, one dir per sink.
 

@@ -4,14 +4,24 @@ The reference has NO aggregations; the north_star mandates per-sink
 groupby-aggregate counts by (sink/route, role, tool, ts-hour) and per
 conv_id (BASELINE.json:L6; SURVEY.md §2.5 A1).
 
-Scale design: a bare ``groupby(keys).count()`` shuffles every row. Instead
-each batch is first reduced to one row per distinct key *inside*
-``map_batches`` using Arrow's ``Table.group_by`` (C++ hash aggregation),
-so the all-to-all exchange moves only partial counts — orders of magnitude
-smaller than the input at 100 TB (cardinality ≈ sinks × roles × tools ×
-hours per batch). The final ``groupby(keys).aggregate(Sum)`` over partials
-is exact; salting of hot conv_ids affects physical placement only, never
-these aggregate keys (SURVEY.md §4.2.1).
+Scale design: a bare ``groupby(keys).count()`` shuffles every row. Every
+aggregate here first reduces each batch to one row per distinct key
+INSIDE ``map_batches`` (Arrow C++ hash aggregation), so only partials —
+bounded by #blocks × per-block key cardinality — move between stages.
+
+Two final-reduce modes:
+
+- ``mode="tree"`` (default): partials → per-block combine → coalesce to
+  one block (materialize barrier: streaming repartition fuses with the
+  next map, so without the barrier the final combine would run per
+  bundle, not per coalesced block — verified) → one exact combine.
+  No shuffle at all. Correct whenever the FINAL result fits one block
+  (aggregate cardinality ≤ ~10M rows) — true for sink/hour/route counts
+  even at 10^12 turns.
+- ``mode="shuffle"``: Ray's groupby shuffle. Needed when result
+  cardinality itself is huge (e.g. per-conv counts over 10^9
+  conversations). Costs a full sort-shuffle with ~10 s fixed overhead in
+  this Ray version — measured; amortizes at real scale.
 """
 
 from __future__ import annotations
@@ -21,33 +31,85 @@ from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 
-def _partial_counts(keys: list[str], count_alias: str):
-    def fn(batch: pa.Table) -> pa.Table:
+def _rename(part: pa.Table, keys: list[str], alias: str) -> pa.Table:
+    return part.rename_columns(keys + [alias])
+
+
+def _tree_reduce(partials: Dataset, keys: list[str], alias: str,
+                 mode: str, fanout: int = 16) -> Dataset:
+    """Reduce partial tables (keys + alias sum column) to exact totals."""
+    def combine(batch: pa.Table) -> pa.Table:
+        part = batch.group_by(keys).aggregate([(alias, "sum")])
+        return _rename(part, keys, alias)
+
+    if mode == "shuffle":
+        return partials.materialize().groupby(keys) \
+            .aggregate(Sum(alias, alias_name=alias))
+    if mode != "tree":
+        raise ValueError(f"unknown aggregate mode {mode!r}")
+    # per-bundle combine (fusion makes this a partial combine — fine),
+    # then the exact final combine over ONE coalesced block
+    lvl1 = partials.repartition(fanout).map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+    return lvl1.repartition(1).materialize().map_batches(
+        combine, batch_format="pyarrow", batch_size=None)
+
+
+def counts_by(ds: Dataset, keys: list[str], alias: str = "n",
+              mode: str = "tree") -> Dataset:
+    """Exact grouped row counts; columns ``keys + [alias]`` (name the SQL
+    oracle column identically: ``COUNT(*) AS n``)."""
+    def partial(batch: pa.Table) -> pa.Table:
         part = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
-        return part.rename_columns(keys + [count_alias])
+        return _rename(part, keys, alias)
 
-    return fn
-
-
-def counts_by(ds: Dataset, keys: list[str], alias: str = "n") -> Dataset:
-    """Exact grouped row counts with per-batch partial aggregation.
-
-    Result columns: ``keys + [alias]`` (alias defaults to ``n`` — name it
-    identically in oracle SQL: ``COUNT(*) AS n``).
-    """
-    partial = ds.map_batches(
-        _partial_counts(keys, alias), batch_format="pyarrow", batch_size=None
-    )
-    out = partial.groupby(keys).aggregate(Sum(alias, alias_name=alias))
-    return out
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _tree_reduce(partials, keys, alias, mode)
 
 
-def grouped_sum(ds: Dataset, keys: list[str], value: str, alias: str) -> Dataset:
+def grouped_sum(ds: Dataset, keys: list[str], value: str, alias: str,
+                mode: str = "tree") -> Dataset:
     """Exact grouped sum with per-batch partial aggregation."""
-
-    def fn(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         part = batch.select(keys + [value]).group_by(keys).aggregate([(value, "sum")])
-        return part.rename_columns(keys + [alias])
+        return _rename(part, keys, alias)
 
-    partial = ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
-    return partial.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _tree_reduce(partials, keys, alias, mode)
+
+
+def fused_counts(ds: Dataset, key_sets: dict[str, list[str]], alias: str = "n",
+                 mode: str = "tree") -> Dataset:
+    """SEVERAL grouped counts in ONE pass over the input.
+
+    Each batch emits one partial-count table per key set, tagged
+    ``_agg = name`` and null-padded to the union of key columns (Ray and
+    Arrow group nulls correctly — verified); one reduce finishes all
+    views. Filter the result on ``_agg`` to split views. At 100 TB this
+    halves the number of full passes when a pipeline needs multiple
+    aggregate views of one stream.
+    """
+    all_keys: list[str] = []
+    for keys in key_sets.values():
+        for k in keys:
+            if k not in all_keys:
+                all_keys.append(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for name, keys in key_sets.items():
+            part = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+            part = _rename(part, keys, alias)
+            arrays: list = [pa.array([name] * part.num_rows, type=pa.string())]
+            names = ["_agg"]
+            for k in all_keys:
+                names.append(k)
+                arrays.append(part[k] if k in keys
+                              else pa.nulls(part.num_rows, batch.schema.field(k).type))
+            names.append(alias)
+            arrays.append(part[alias])
+            pieces.append(pa.table(dict(zip(names, arrays))))
+        return pa.concat_tables(pieces)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return _tree_reduce(partials, ["_agg"] + all_keys, alias, mode)

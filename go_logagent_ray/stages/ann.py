@@ -107,15 +107,27 @@ def cosine_topk(
         batch_format="pyarrow", concurrency=2,
     )
 
-    def reduce_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # Top-k per query is a MERGEABLE reduction: prune per bundle, then one
+    # exact final pass over a single coalesced block (no shuffle — Ray's
+    # groupby shuffle costs ~10s fixed; the candidate set is ≤ k·Q·blocks
+    # and the bundle-level prune caps it at k·Q).
+    def local_prune(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        return (df.sort_values(["sim", "vec_id"], ascending=[False, True])
+                  .groupby("query_id", sort=False).head(k))
 
-    return candidates.groupby("query_id").map_groups(
-        reduce_topk, batch_format="pandas"
-    )
+    def final_rank(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = (df.sort_values(["query_id", "sim", "vec_id"],
+                             ascending=[True, False, True])
+                .groupby("query_id", sort=False).head(k))
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df
+
+    pruned = candidates.repartition(16).map_batches(
+        local_prune, batch_format="pyarrow", batch_size=None)
+    return pruned.repartition(1).materialize().map_batches(
+        final_rank, batch_format="pyarrow", batch_size=None)
 
 
 def load_queries(path: str, n_queries: int, id_field: str = "vec_id",

@@ -188,30 +188,33 @@ def minhash_lsh_pairs(
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "sim_est": []})
-        g = group.sort_values(id_field)
-        ids = g[id_field].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """One group per BAND (few, large groups — per-bucket map_groups
+        would spin up tens of thousands of tiny pandas frames); buckets
+        are processed with a C-speed pandas groupby inside."""
         out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for j in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + j])
-                out_s.append(float(eq[j]))
+        for _, bucket in group.groupby("bkey", sort=False):
+            if len(bucket) < 2:
+                continue
+            g = bucket.sort_values(id_field)
+            ids = g[id_field].to_numpy()
+            sig = np.stack(g["sig"].to_numpy())
+            for i in range(len(ids)):
+                eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
+                for j in np.nonzero(eq >= threshold)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + j])
+                    out_s.append(float(eq[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "sim_est": out_s})
 
-    pairs = exploded.groupby(["band", "bkey"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # same pair can surface from multiple bands — keep one
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    pairs = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    # same pair can surface from multiple bands — keep one (pair set is
+    # small relative to the corpus; dedup on the compact pair keys only)
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["doc_a", "doc_b"])
+
+    return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash
@@ -276,27 +279,28 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             "simhash": pa.array(np.repeat(sh, 4), type=pa.uint64()),
         })
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = group.sort_values(id_field)
-        ids = g[id_field].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
         a, b, hd = [], [], []
-        for i in range(len(ids)):
-            x = sh[i + 1 :] ^ sh[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(ham <= max_hamming)[0]:
-                a.append(ids[i]); b.append(ids[i + 1 + j]); hd.append(int(ham[j]))
+        for _, bucket in group.groupby("bkey", sort=False):
+            if len(bucket) < 2:
+                continue
+            g = bucket.sort_values(id_field)
+            ids = g[id_field].to_numpy()
+            sh = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = sh[i + 1 :] ^ sh[i]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    a.append(ids[i]); b.append(ids[i + 1 + j]); hd.append(int(ham[j]))
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": hd})
 
     pairs = hashed.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "bkey"]).map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band").map_groups(band_pairs, batch_format="pandas")
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["doc_a", "doc_b"])
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ------------------------------------------------------- charset jaccard

@@ -68,29 +68,56 @@ class GrokParser:
         n = batch.num_rows
         col = as_combined(batch[self.field])
 
-        # Per-pattern extraction; None text -> null struct (no match).
-        extracted: list[pa.StructArray | None] = []
+        # Per-pattern extraction with first-match-wins masking: pattern
+        # i+1 only scans rows every earlier pattern missed (the regex scan
+        # dominates stage CPU — on match-heavy streams this cuts most of
+        # the second pattern's work). Results scatter back through a
+        # take-index per pattern.
+        extracted: list[pa.StructArray] = []
+        scatter: list[np.ndarray | None] = []  # row idx each result row maps to
         matched_any = np.zeros(n, dtype=bool)
         matched_by: list[np.ndarray] = []
-        for cg in self.compiled:
+        for pi, cg in enumerate(self.compiled):
+            if pi == 0:
+                subset, idx = col, None
+            else:
+                pending = np.nonzero(~matched_any)[0]
+                idx = pending
+                subset = col.take(pa.array(pending))
             try:
-                res = pc.extract_regex(col, pattern=cg.regex)
+                res = pc.extract_regex(subset, pattern=cg.regex)
             except pa.ArrowInvalid:
                 # Pattern not RE2-compatible → per-row Python fallback.
-                res = self._py_extract(col, cg)
-            m = pc.is_valid(res).to_numpy(zero_copy_only=False).astype(bool, copy=False)
+                res = self._py_extract(subset, cg)
+            sub_m = pc.is_valid(res).to_numpy(zero_copy_only=False).astype(bool, copy=False)
+            m = np.zeros(n, dtype=bool)
+            if idx is None:
+                m[:] = sub_m
+            else:
+                m[idx] = sub_m
             matched_by.append(m & ~matched_any)
             matched_any |= m
             extracted.append(res)
+            scatter.append(idx)
 
-        # first-match-wins coalesce per capture name
+        # coalesce captures per name (disjoint by construction)
         for name in self.capture_names:
             pieces: list[pa.Array] = []
-            for cg, res, use in zip(self.compiled, extracted, matched_by):
-                if name in cg.captures:
-                    vals = res.field(name)
-                    # blank out rows claimed by an earlier pattern
-                    pieces.append(pc.if_else(pa.array(use), vals, pa.nulls(n, pa.string())))
+            for cg, res, use, idx in zip(self.compiled, extracted, matched_by,
+                                         scatter):
+                if name not in cg.captures:
+                    continue
+                vals = res.field(name)
+                if idx is not None:
+                    # scatter subset results to full length (mask below)
+                    back = np.full(n, 0, dtype=np.int64)
+                    back[idx] = np.arange(len(idx))
+                    vals = vals.take(pa.array(back, type=pa.int64())) if len(res) \
+                        else pa.nulls(n, pa.string())
+                # mask to rows THIS pattern claimed: extract_regex's struct
+                # children carry "" (not null) for unmatched rows
+                vals = pc.if_else(pa.array(use), vals, pa.nulls(n, pa.string()))
+                pieces.append(vals)
             arr = pieces[0]
             for p in pieces[1:]:
                 arr = pc.coalesce(arr, p)

@@ -1,0 +1,83 @@
+"""Explicit conv_id partitioning with hot-key salting (SURVEY.md §4.2.1).
+
+BASELINE.json:L6: "Partitioning is explicit: hash-partition on conv_id
+with salted keys for hot-conversation skew." Parse/enrich/route are
+embarrassingly parallel and need no co-location; this module serves the
+two places keying matters:
+
+- per-conversation grouped processing (windowed aggregates, per-conv
+  state): ``groupby(part_column)`` + per-group work, where one giant
+  conversation would otherwise pin a whole task;
+- checkpoint/sink bucketing by stable key range.
+
+Salting affects PHYSICAL placement only: a hot conv_id is spread over
+``salt_factor`` sub-partitions via ``turn_idx % salt_factor``. Aggregate
+keys stay unsalted, so counts remain exact; per-conv operators that need
+ALL turns of a conversation together must either re-merge sub-partition
+results (associative ops) or exclude hot keys from salting — callers
+choose, and the assumption is documented per operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.arrow_utils import as_combined, set_column
+from ..functions.hashing import stable_hash64
+
+
+def hot_keys(ds: Dataset, key: str, threshold: int) -> set:
+    """Keys whose row count exceeds ``threshold`` (exact, via the
+    tree-reduced counts — one pass, partials only)."""
+    from .aggregate import counts_by
+
+    counts = counts_by(ds, [key], alias="n")
+    return {r[key] for r in counts.take_all() if r["n"] > threshold}
+
+
+class SaltedPartitioner:
+    """Adds ``part`` (int32 partition id) = hash(key) % P, with hot keys
+    spread over ``salt_factor`` consecutive partitions by ``salt_col``."""
+
+    def __init__(self, key: str, num_partitions: int,
+                 hot: set | None = None, salt_factor: int = 8,
+                 salt_col: str = "turn_idx", out: str = "part"):
+        self.key = key
+        self.p = num_partitions
+        self.hot = hot or set()
+        self.salt_factor = max(1, salt_factor)
+        self.salt_col = salt_col
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        keys = as_combined(batch[self.key])
+        h = stable_hash64(pl.from_arrow(keys))
+        part = (h % np.uint64(self.p)).astype(np.int64)
+        if self.hot:
+            is_hot = np.isin(np.asarray(keys.to_pylist(), dtype=object),
+                             list(self.hot))
+            if is_hot.any():
+                salt = as_combined(batch[self.salt_col]).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                part = np.where(
+                    is_hot, (part + salt % self.salt_factor) % self.p, part)
+        return set_column(batch, self.out, pa.array(part.astype(np.int32)))
+
+
+def add_salted_partition(ds: Dataset, key: str, num_partitions: int,
+                         hot_threshold: int | None = None,
+                         salt_factor: int = 8,
+                         salt_col: str = "turn_idx") -> Dataset:
+    """One extra pass when ``hot_threshold`` is set (exact hot-key census);
+    then a vectorized partition-id stage. The hot set is broadcast in the
+    stage closure (tiny)."""
+    hot = hot_keys(ds, key, hot_threshold) if hot_threshold is not None else set()
+    return ds.map_batches(
+        SaltedPartitioner(key, num_partitions, hot=hot,
+                          salt_factor=salt_factor, salt_col=salt_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )

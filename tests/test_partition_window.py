@@ -1,0 +1,73 @@
+"""Salted partitioning + windowed-operator tests (SURVEY.md §4.2.1)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_salted_partitioner_spreads_hot_keys(ray_session, transcripts_small):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.partition import add_salted_partition, hot_keys
+
+    ds = rd.from_arrow(transcripts_small)
+    hot = hot_keys(ds, "conv_id", threshold=100)
+    assert hot  # fixture plants hot conversations (hot_frac)
+
+    parted = add_salted_partition(ds, "conv_id", num_partitions=16,
+                                  hot_threshold=100, salt_factor=4)
+    rows = parted.take_all()
+    by_conv: dict[str, set[int]] = {}
+    for r in rows:
+        by_conv.setdefault(r["conv_id"], set()).add(r["part"])
+    # hot conversations spread over >1 partition; cold ones stay in one
+    for conv in hot:
+        assert len(by_conv[conv]) > 1, conv
+    cold = [c for c in by_conv if c not in hot]
+    assert all(len(by_conv[c]) == 1 for c in cold)
+    # partition ids valid & total rows conserved
+    assert all(0 <= p < 16 for ps in by_conv.values() for p in ps)
+    assert len(rows) == transcripts_small.num_rows
+
+
+def test_salting_is_deterministic(ray_session, transcripts_small):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.partition import SaltedPartitioner
+
+    stage = SaltedPartitioner("conv_id", 8, hot={"c00000041"}, salt_factor=4)
+    a = stage(transcripts_small)["part"].to_pylist()
+    b = stage(transcripts_small)["part"].to_pylist()
+    assert a == b
+
+
+def test_tumbling_window_counts(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import tumbling_window_counts
+
+    ts = np.array(["2024-01-01T00:10:00", "2024-01-01T00:50:00",
+                   "2024-01-01T01:10:00", "2024-01-01T02:05:00"],
+                  dtype="datetime64[us]")
+    t = pa.table({"k": ["a", "a", "a", "b"], "ts": pa.array(ts)})
+    out = tumbling_window_counts(rd.from_arrow(t), "k", "ts", window="hour")
+    got = {(r["k"], str(r["window_start"])): r["n"] for r in out.take_all()}
+    assert got == {("a", "2024-01-01 00:00:00"): 2,
+                   ("a", "2024-01-01 01:00:00"): 1,
+                   ("b", "2024-01-01 02:00:00"): 1}
+
+
+def test_session_windows_split_on_gap(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import session_windows
+
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:01:00",
+                   "2024-01-01T05:00:00", "2024-01-01T05:00:30"],
+                  dtype="datetime64[us]")
+    t = pa.table({"conv_id": ["c"] * 4, "turn_idx": pa.array([0, 1, 2, 3],
+                                                             type=pa.int32()),
+                  "ts": pa.array(ts)})
+    out = session_windows(rd.from_arrow(t), gap_us=3600 * 1_000_000).take_all()
+    assert len(out) == 2
+    assert [r["n_turns"] for r in sorted(out, key=lambda r: r["session_idx"])] == [2, 2]
