@@ -554,6 +554,37 @@ GROUP BY 1
 """
 
 
+def q_hash_join(sf_dir: str):
+    """J2: large⋈large hash join (Dataset.join, hash-partitioned on the
+    key) — orders ⋈ lineitem, revenue-weighted line counts per priority.
+    The broadcast path (q_broadcast_join) remains the default for small
+    dimension tables; this exercises the shuffle join."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    joined = lines.join(orders, join_type="inner", num_partitions=16,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    return counts_by(joined, ["o_orderpriority"], alias="n")
+
+
+SQL_HASH_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    """A3/O-family: distinct values of a column (Dataset.unique)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, type=pa.string())})
+
+
+SQL_DISTINCT_EVENT_TYPES = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -583,6 +614,8 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
     "broadcast_join": q_broadcast_join,
+    "hash_join": q_hash_join,
+    "distinct_event_types": q_distinct_event_types,
 }
 
 ORACLE_SQL = {
@@ -607,6 +640,8 @@ ORACLE_SQL = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "topk_orders": SQL_TOPK_ORDERS,
     "broadcast_join": SQL_BROADCAST_JOIN,
+    "hash_join": SQL_HASH_JOIN,
+    "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
     # langid_docs / fingerprint_docs / minhash_pairs_docs /
     # simhash_pairs_docs / ann_lsh: heuristic or hash-based — rows-only.
 }
