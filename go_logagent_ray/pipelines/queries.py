@@ -383,6 +383,35 @@ def q_simhash_pairs_docs(sf_dir: str):
 # =============================================================== embeddings
 
 
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (broadcast corpus, exact).
+    Pairs only — cosine floats stay out of the hash-compared columns."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(
+        ds, threshold=0.3, corpus_path=f"{sf_dir}/embeddings.parquet")
+    return pairs.select_columns(["doc_a", "doc_b"])
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
+
+
+def q_ngram_jaccard_docs(sf_dir: str):
+    """Exact word-trigram Jaccard near-dup pairs within (lang, source)
+    groups (rows-only: DuckDB's jaccard() is char-set based; exactness
+    is pytest-verified against planted duplicates)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.4) \
+        .select_columns(["doc_a", "doc_b"])
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k ANN baseline: broadcast query matrix,
     per-batch matmul + local top-k, per-query global reduce."""
@@ -609,6 +638,8 @@ QUERIES = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "conv_gap_stats": q_conv_gap_stats,
     "session_windows": q_session_windows,
+    "embedding_neardup": q_embedding_neardup,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "lineitem_agg": q_lineitem_agg,
@@ -636,6 +667,7 @@ ORACLE_SQL = {
     "jaccard_pairs_docs": SQL_JACCARD_PAIRS_DOCS,
     "conv_gap_stats": SQL_CONV_GAP_STATS,
     "session_windows": SQL_SESSION_WINDOWS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
     "lineitem_agg": SQL_LINEITEM_AGG,
     "topk_orders": SQL_TOPK_ORDERS,

@@ -124,6 +124,18 @@ def write_sinks(routed: Dataset, out_dir: str) -> None:
     routed.write_parquet(out_dir, partition_cols=["route"])
 
 
+def write_errors_json(routed: Dataset, path: str) -> None:
+    """R3: the redis-sink stand-in — the ``errors`` route additionally as
+    JSON lines (the reference LPUSHes JSON to redis; sinks here are
+    Parquet/JSON per BASELINE.json:L6). ``tags`` lists serialize as JSON
+    arrays."""
+    from ..stages.route import split_to_sink
+
+    routed.map_batches(
+        split_to_sink, fn_kwargs={"sink": "errors"}, batch_format="pyarrow",
+    ).write_json(path)
+
+
 def sink_counts(routed: Dataset) -> Dataset:
     """A1: counts by (route, role, tool, ts_hour); columns named for SQL."""
     return counts_by(routed, AGG_KEYS, alias="n")

@@ -303,6 +303,95 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
     return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
 
 
+# ------------------------------------------------- embedding cosine near-dup
+
+
+def embedding_neardup_pairs(
+    ds: Dataset,
+    threshold: float = 0.95,
+    *,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+    corpus_path: str | None = None,
+) -> Dataset:
+    """Near-duplicate pairs by embedding cosine similarity ≥ threshold.
+
+    Exact: the corpus matrix is broadcast ONCE via ``ray.put`` and every
+    batch does one matmul against it — O(corpus·batch) work per batch, no
+    shuffle; emits (doc_a, doc_b, cos_sim) with doc_a < doc_b so each
+    pair appears exactly once. This is the broadcastable-corpus regime
+    (≤ ~1M vectors); beyond that, bucket with the random-hyperplane LSH
+    in ``stages/ann.py`` and score within buckets (approximate).
+    ``corpus_path`` loads the broadcast side from parquet instead of
+    collecting ``ds`` itself.
+    """
+    import ray
+
+    from .ann import _fixed_matrix, _normalize
+
+    if corpus_path is not None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(corpus_path, columns=[id_field, vec_field])
+    else:
+        t = pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in ray.get(ds.to_arrow_refs())])
+    ref = ray.put((t[id_field].to_numpy(), _normalize(_fixed_matrix(t[vec_field]))))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids, mat = ray.get(ref)
+        b_ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False)
+        b_mat = _normalize(_fixed_matrix(batch[vec_field]))
+        sims = b_mat @ mat.T
+        hit = (sims >= threshold) & (ids[None, :] > b_ids[:, None])  # a < b
+        bi, cj = np.nonzero(hit)
+        return pa.table({"doc_a": pa.array(b_ids[bi].astype(np.int64)),
+                         "doc_b": pa.array(ids[cj].astype(np.int64)),
+                         "cos_sim": pa.array(sims[bi, cj].astype(np.float64))})
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow")
+
+
+# --------------------------------------------------- word n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    group_keys: list[str],
+    threshold: float = 0.7,
+    ngram: int = 3,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+) -> Dataset:
+    """EXACT word-ngram Jaccard near-dup pairs within co-grouped rows.
+
+    The exact counterpart of minhash_lsh_pairs' estimate: Jaccard over the
+    sets of word n-grams. Pairwise work bounded by group size — same
+    partitioning assumption as charset_jaccard_pairs (keep groups small
+    or pre-filter with MinHash candidates at scale)."""
+
+    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_field)
+        ids = g[id_field].to_numpy()
+        sets = [frozenset(_ngram_strings(t or "", ngram)) for t in g[text_field]]
+        cols: dict[str, list] = {k: [] for k in group_keys}
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                union = len(sets[i] | sets[j])
+                sim = (len(sets[i] & sets[j]) / union) if union else 0.0
+                if sim >= threshold:
+                    a_out.append(ids[i]); b_out.append(ids[j]); j_out.append(sim)
+                    for k in group_keys:
+                        cols[k].append(g[k].iloc[0])
+        cols.update({"doc_a": a_out, "doc_b": b_out, "jaccard": j_out})
+        return pd.DataFrame(cols, columns=group_keys + ["doc_a", "doc_b", "jaccard"])
+
+    return ds.select_columns(group_keys + [id_field, text_field]) \
+        .groupby(group_keys).map_groups(pairs_in_group, batch_format="pandas")
+
+
 # ------------------------------------------------------- charset jaccard
 
 

@@ -127,3 +127,33 @@ def test_lsh_topk_recall(embeddings_ds):
         recalls.append(len(exact & got) / 10)
     # approximate by design; with 4 planes + multiprobe 4 recall is decent
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_embedding_neardup_exact(embeddings_ds):
+    from go_logagent_ray.stages.dedup import embedding_neardup_pairs
+
+    ds, mat = embeddings_ds
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           embedding_neardup_pairs(ds, threshold=0.5).take_all()}
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    exp = {(i, j) for i in range(len(mat)) for j in range(i + 1, len(mat))
+           if sims[i, j] >= 0.5}
+    assert got == exp
+
+
+def test_ngram_jaccard_exact_planted(docs_with_dups):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from go_logagent_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds, texts = docs_with_dups
+    # add a constant group key (single co-group; 63 docs -> fine)
+    with_g = ds.map_batches(
+        lambda t: t.append_column("g", pa.array(["x"] * t.num_rows)),
+        batch_format="pyarrow")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(with_g, ["g"], threshold=0.8).take_all()}
+    assert (0, 60) in pairs and (1, 61) in pairs  # exact dups: jaccard 1.0
+    assert (2, 62) in pairs                        # near dup: ~0.86

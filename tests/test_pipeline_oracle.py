@@ -98,3 +98,26 @@ def test_sinks_written_partitioned(ray_session, transcripts_parquet, tmp_path, o
         assert n == len(oracle_result["sinks"][sink]), sink
         total += n
     assert total == sum(len(v) for v in oracle_result["sinks"].values())
+
+
+def test_errors_json_sink(ray_session, transcripts_parquet, tmp_path, oracle_result):
+    import glob
+    import json as jsonlib
+
+    import ray.data as rd
+
+    from go_logagent_ray.pipelines.transcript import (
+        parse_enrich_route,
+        write_errors_json,
+    )
+
+    out = str(tmp_path / "errors_json")
+    routed = parse_enrich_route(rd.read_parquet(transcripts_parquet), batch_size=64)
+    write_errors_json(routed, out)
+    rows = []
+    for f in glob.glob(out + "/*.json"):
+        with open(f) as fh:
+            rows.extend(jsonlib.loads(line) for line in fh if line.strip())
+    assert len(rows) == len(oracle_result["sinks"]["errors"])
+    assert all(r["route"] == "errors" for r in rows)
+    assert all(isinstance(r["tags"], list) for r in rows)
