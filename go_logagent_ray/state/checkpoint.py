@@ -175,13 +175,14 @@ def run_checkpointed(
             continue
         if max_partitions is not None and ran >= max_partitions:
             break
-        counts = _run_partition(pid, part, out_dir, transform)
+        counts, schema_hash = _run_partition(pid, part, out_dir, transform)
         manifest = {
             "part_id": pid,
             "fragments": [asdict(f) for f in part],
             "counts": counts,
             "rows_in": sum(f.rows for f in part),
             "config_hash": cfg,
+            "schema_hash": schema_hash,
         }
         _atomic_write_json(
             os.path.join(_manifest_dir(out_dir), f"part-{pid}.json"), manifest
@@ -199,8 +200,10 @@ def run_checkpointed(
     }
 
 
-def _run_partition(pid: int, part: list, out_dir: str, transform) -> dict[str, int]:
-    """One wave: read fragments → transform → staged write → atomic rename."""
+def _run_partition(pid: int, part: list, out_dir: str, transform):
+    """One wave: read fragments → transform → staged write → atomic rename.
+
+    Returns (per-sink row counts, output schema hash)."""
     import shutil
 
     staging = os.path.join(out_dir, f".tmp-part-{pid}")
@@ -210,17 +213,22 @@ def _run_partition(pid: int, part: list, out_dir: str, transform) -> dict[str, i
     routed = transform(ds)
     routed.write_parquet(staging, partition_cols=["route"])
 
+    schema_hash = ""
     counts: dict[str, int] = {}
     for name in sorted(os.listdir(staging)):
         if not name.startswith("route="):
             continue
         sink = name.split("=", 1)[1]
         src = os.path.join(staging, name)
-        rows = sum(
-            pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        )
+        rows = 0
+        for f in os.listdir(src):
+            if not f.endswith(".parquet"):
+                continue
+            pf = pq.ParquetFile(os.path.join(src, f))
+            rows += pf.metadata.num_rows
+            if not schema_hash:
+                schema_hash = hashlib.sha256(
+                    pf.schema_arrow.to_string().encode()).hexdigest()[:16]
         dst = os.path.join(out_dir, sink, f"part-{pid}")
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if os.path.isdir(dst):
@@ -228,4 +236,4 @@ def _run_partition(pid: int, part: list, out_dir: str, transform) -> dict[str, i
         os.replace(src, dst)
         counts[sink] = rows
     shutil.rmtree(staging, ignore_errors=True)
-    return counts
+    return counts, schema_hash
