@@ -1,0 +1,112 @@
+"""Incremental micro-batch mode — the tail-file streaming analog (EP2).
+
+The reference is a STREAMING agent: it tails files and processes events as
+they arrive (``ref: input/file/`` per-file offsets, SURVEY.md §3.1 EP2).
+Ray Data is a batch engine; the Ray-native analog is micro-batching: each
+arriving chunk of transcript rows runs through the SAME vectorized filter
+chain (one small Dataset per chunk), sinks append per-chunk partitions,
+and *running aggregates* are kept in per-bucket STATE ACTORS.
+
+This is the one place raw ``@ray.remote`` actors are warranted (SURVEY.md
+§2 custom-operator rule (c)): a running count is shared mutable state
+across chunks, which the Dataset API cannot express. State is sharded by
+``hash(key) % num_buckets`` so no actor is a hot spot; each update ships
+only partial-count tables (bounded by key cardinality per chunk), never
+rows. On a real cluster the actors spread across nodes and survive
+between chunks; a killed driver can rebuild them by replaying committed
+chunk manifests (same resume story as state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pyarrow as pa
+import ray
+
+
+@ray.remote(num_cpus=0.1)
+class CountState:
+    """One shard of the running grouped counts (keys → count)."""
+
+    def __init__(self):
+        self.counts: Counter = Counter()
+
+    def update(self, keys: list[tuple], values: list[int]) -> int:
+        for k, v in zip(keys, values):
+            self.counts[k] += v
+        return len(self.counts)
+
+    def totals(self) -> dict:
+        return dict(self.counts)
+
+
+class IncrementalRunner:
+    """Feed transcript chunks; sinks append, running counts stay exact.
+
+    NOT for the 100 TB backfill path (use the checkpointed batch runner);
+    this is the low-latency tail-processing mode for new data arriving in
+    chunks.
+    """
+
+    def __init__(self, out_dir: str, agg_keys: list[str] | None = None,
+                 num_buckets: int = 8):
+        from ..functions.hashing import stable_hash64
+
+        self._hash = stable_hash64
+        self.out_dir = out_dir
+        self.agg_keys = agg_keys or ["route", "role", "tool", "ts_hour"]
+        self.actors = [CountState.remote() for _ in range(num_buckets)]
+        self.num_buckets = num_buckets
+        self.chunk_idx = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def process_chunk(self, table: pa.Table) -> dict:
+        """Parse→enrich→route one chunk; append sinks; update state."""
+        import ray.data as rd
+
+        from .transcript import parse_enrich_route
+
+        if table.num_rows == 0:
+            # nothing arrived this tick — no chunk dir, no state update
+            return {"chunk": self.chunk_idx, "rows": 0, "groups_touched": 0}
+        routed = parse_enrich_route(rd.from_arrow(table), batch_size=None)
+        chunk_dir = os.path.join(self.out_dir, f"chunk-{self.chunk_idx:06d}")
+        routed.write_parquet(chunk_dir, partition_cols=["route"])
+
+        # partial counts for this chunk from the written files (pruned)
+        import pyarrow.parquet as pq
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(chunk_dir, partitioning="hive")
+        t = dset.to_table(columns=self.agg_keys)
+        part = t.group_by(self.agg_keys).aggregate([([], "count_all")])
+        keys = list(zip(*[part[k].to_pylist() for k in self.agg_keys]))
+        vals = part["count_all"].to_pylist()
+
+        # shard updates by key hash; one small RPC per bucket
+        shard_of = self._hash([str(k) for k in keys]) % self.num_buckets \
+            if keys else []
+        futures = []
+        for b in range(self.num_buckets):
+            ks = [k for k, s in zip(keys, shard_of) if s == b]
+            vs = [v for v, s in zip(vals, shard_of) if s == b]
+            if ks:
+                futures.append(self.actors[b].update.remote(ks, vs))
+        ray.get(futures)
+        self.chunk_idx += 1
+        return {"chunk": self.chunk_idx - 1, "rows": table.num_rows,
+                "groups_touched": len(keys)}
+
+    def running_counts(self) -> dict:
+        """Exact totals over everything processed so far."""
+        out: Counter = Counter()
+        for totals in ray.get([a.totals.remote() for a in self.actors]):
+            out.update(totals)
+        return dict(out)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
