@@ -139,3 +139,47 @@ def test_split_to_sink_partitions_rows():
     routed = RouteStage(rules)(_batch())
     n = sum(split_to_sink(routed, s).num_rows for s in ("errors", "default"))
     assert n == routed.num_rows
+
+
+# ---- property tests for the vectorized list<string> tag kernels ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tags_strategy = st.lists(
+    st.one_of(st.none(), st.lists(st.sampled_from(["a", "b", "c", ""]),
+                                  max_size=4)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_tags_strategy, st.data())
+def test_append_tag_property(base_lists, data):
+    mask = np.array(data.draw(st.lists(st.booleans(), min_size=len(base_lists),
+                                       max_size=len(base_lists))))
+    base = pa.array(base_lists, type=pa.list_(pa.string()))
+    out = append_tag(base, mask, "T", len(base_lists)).to_pylist()
+    exp = [(lst or []) + (["T"] if m else []) for lst, m in zip(base_lists, mask)]
+    assert out == exp
+
+
+@settings(max_examples=150, deadline=None)
+@given(_tags_strategy.filter(lambda ls: all(x is not None for x in ls)))
+def test_remove_has_tag_property(base_lists):
+    base = pa.array(base_lists, type=pa.list_(pa.string()))
+    assert remove_tag(base, "b").to_pylist() == [
+        [x for x in lst if x != "b"] for lst in base_lists]
+    assert has_tag(base, "b").tolist() == [("b" in lst) for lst in base_lists]
+
+
+@settings(max_examples=50, deadline=None)
+@given(_tags_strategy)
+def test_append_tag_on_sliced_array(base_lists):
+    # exercise the non-zero-offset buffer path (sliced list arrays)
+    base = pa.array(base_lists + [["x"]], type=pa.list_(pa.string()))
+    sliced = base.slice(0, len(base_lists))
+    mask = np.ones(len(base_lists), dtype=bool)
+    out = append_tag(sliced, mask, "T", len(base_lists)).to_pylist()
+    exp = [(lst or []) + ["T"] for lst in base_lists]
+    assert out == exp
