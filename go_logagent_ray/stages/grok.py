@@ -30,6 +30,23 @@ from ..functions.grok import CompiledGrok, compile_grok
 
 _CAST_ARROW = {"int": pa.int64(), "float": pa.float64(), "string": pa.string()}
 
+_TOKEN_RE = re.compile(r"%\{\w+(?::\w+)?(?::\w+)?\}")
+_SAFE_RUN = re.compile(r"[A-Za-z0-9_= :,/-]{4,}")
+
+
+def _literal_prefilter(grok_source: str) -> str | None:
+    """Longest safe literal run in the grok source's non-token text.
+
+    Safe chars carry no regex meaning, so the run is a required substring
+    of every match (returns None when nothing ≥4 chars is found — raw
+    regex like ``.*`` in the source breaks runs naturally)."""
+    best = ""
+    for segment in _TOKEN_RE.split(grok_source):
+        for run in _SAFE_RUN.findall(segment):
+            if len(run) > len(best):
+                best = run
+    return best or None
+
 
 class GrokParser:
     """Callable-class stage: compile once per actor, parse per batch."""
@@ -42,6 +59,7 @@ class GrokParser:
         tag_on_failure: str = "_grokparsefailure",
         tags_column: str = "tags",
         overwrite: bool = True,
+        prefilter: bool = False,
     ):
         if isinstance(patterns, str):
             patterns = [patterns]
@@ -50,6 +68,16 @@ class GrokParser:
         self.tags_column = tags_column
         self.compiled: list[CompiledGrok] = [
             compile_grok(p, extra_patterns=extra_patterns) for p in patterns
+        ]
+        # Literal prefilters (opt-in): the longest plain-literal run in
+        # each grok SOURCE (text between %{...} tokens, safe chars only)
+        # is a necessary substring of any match, so a SIMD
+        # match_substring pass shrinks the extract's input. WORTH IT only
+        # when the pattern matches a small fraction of rows (≲10%): at
+        # ~50% selectivity the subset take + result scatter costs more
+        # than the saved regex time (measured), so the default is off.
+        self.prefilters: list[str | None] = [
+            _literal_prefilter(p) if prefilter else None for p in patterns
         ]
         # RE2 via Arrow; validate eagerly so actor __init__ fails fast.
         for cg in self.compiled:
@@ -78,12 +106,17 @@ class GrokParser:
         matched_any = np.zeros(n, dtype=bool)
         matched_by: list[np.ndarray] = []
         for pi, cg in enumerate(self.compiled):
-            if pi == 0:
+            cand = ~matched_any
+            lit = self.prefilters[pi]
+            if lit is not None:
+                hit = pc.match_substring(col, pattern=lit)
+                cand &= pc.fill_null(hit, False).to_numpy(
+                    zero_copy_only=False).astype(bool, copy=False)
+            if pi == 0 and cand.all():
                 subset, idx = col, None
             else:
-                pending = np.nonzero(~matched_any)[0]
-                idx = pending
-                subset = col.take(pa.array(pending))
+                idx = np.nonzero(cand)[0]
+                subset = col.take(pa.array(idx))
             try:
                 res = pc.extract_regex(subset, pattern=cg.regex)
             except pa.ArrowInvalid:
