@@ -583,6 +583,24 @@ GROUP BY 1
 """
 
 
+def q_median_value_events(sf_dir: str):
+    """Sketch-family boundary case: EXACT per-group continuous median
+    (integer thousandths so float rounding cannot diverge). The mergeable
+    histogram-sketch path for unbounded groups is
+    ``stages/sketch.py::quantile_histogram`` (accuracy pytest-verified)."""
+    from ..stages.sketch import exact_group_median
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_group_median(ds, "event_type", "value")
+
+
+SQL_MEDIAN_VALUE_EVENTS = """
+SELECT event_type,
+       CAST(ROUND(quantile_cont(value, 0.5) * 1000, 0) AS BIGINT) AS median_x1000
+FROM events GROUP BY event_type
+"""
+
+
 def q_hash_join(sf_dir: str):
     """J2: large⋈large hash join (Dataset.join, hash-partitioned on the
     key) — orders ⋈ lineitem, revenue-weighted line counts per priority.
@@ -645,6 +663,7 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
     "broadcast_join": q_broadcast_join,
+    "median_value_events": q_median_value_events,
     "hash_join": q_hash_join,
     "distinct_event_types": q_distinct_event_types,
 }
@@ -672,6 +691,7 @@ ORACLE_SQL = {
     "lineitem_agg": SQL_LINEITEM_AGG,
     "topk_orders": SQL_TOPK_ORDERS,
     "broadcast_join": SQL_BROADCAST_JOIN,
+    "median_value_events": SQL_MEDIAN_VALUE_EVENTS,
     "hash_join": SQL_HASH_JOIN,
     "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
     # langid_docs / fingerprint_docs / minhash_pairs_docs /

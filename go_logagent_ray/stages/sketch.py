@@ -1,0 +1,129 @@
+"""Mergeable sketches for wide aggregates (A3 family, beyond the reference).
+
+Sketches are the scale answer when exact grouped state is too big: each
+batch emits ONE serialized sketch, and sketches merge associatively in a
+tiny reduce — the shuffle moves kilobytes regardless of input size.
+
+- ``hll_distinct``: HyperLogLog (dense, 2^p registers) distinct count.
+  Standard bias-corrected estimator over stable 64-bit hashes; relative
+  error ≈ 1.04/√(2^p).
+- ``quantile_histogram`` / ``quantiles_from_hist``: fixed-range binned
+  histogram (numpy bincount per batch, vector add to merge) giving
+  quantiles with error bounded by the bin width — the cheap, fully
+  mergeable alternative to exact sort-based quantiles.
+- ``exact_group_median``: exact per-group median via ``map_groups``
+  (partitioning assumption: one group fits one task — use the histogram
+  path when it does not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.arrow_utils import as_combined
+
+
+# ------------------------------------------------------------------- HLL
+
+
+def _hll_update(registers: np.ndarray, hashes: np.ndarray, p: int) -> None:
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    # low 64-p bits, with a sentinel 1 so rank is bounded by 64-p+1
+    rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rank = leading zeros + 1, via float log2 (exact for the leading bit:
+    # float64 has 52 mantissa bits but the TOP bit position is what log2
+    # floors to, unaffected by low-bit rounding)
+    lead = 63 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+    rank = np.clip(lead + 1, 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(registers, idx, rank)
+
+
+def _hll_estimate(registers: np.ndarray) -> float:
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def hll_distinct(ds: Dataset, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column); one 2^p-byte sketch per batch,
+    merged by element-wise max. Error ≈ 1.04/√(2^p) (~1.6% at p=12)."""
+    from ..functions.hashing import stable_hash64
+
+    m = 1 << p
+
+    def batch_sketch(batch: pa.Table) -> pa.Table:
+        col = as_combined(batch[column])
+        vals = [str(v) for v in col.to_pylist() if v is not None]
+        reg = np.zeros(m, dtype=np.uint8)
+        if vals:
+            _hll_update(reg, stable_hash64(vals), p)
+        return pa.table({"sketch": pa.array([reg.tobytes()], type=pa.binary())})
+
+    sketches = ds.map_batches(batch_sketch, batch_format="pyarrow",
+                              batch_size=None)
+    reg = np.zeros(m, dtype=np.uint8)
+    for row in sketches.take_all():  # one tiny row per block
+        np.maximum(reg, np.frombuffer(row["sketch"], dtype=np.uint8), out=reg)
+    return _hll_estimate(reg)
+
+
+# ------------------------------------------------------------ histograms
+
+
+def quantile_histogram(ds: Dataset, column: str, lo: float, hi: float,
+                       bins: int = 4096) -> np.ndarray:
+    """Mergeable fixed-range histogram of a numeric column (counts per
+    bin; under/overflow clamped to edge bins)."""
+
+    def batch_hist(batch: pa.Table) -> pa.Table:
+        v = as_combined(batch[column]).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        b = np.clip(((v - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        return pa.table({"hist": pa.array([counts.astype(np.int64).tobytes()],
+                                          type=pa.binary())})
+
+    out = np.zeros(bins, dtype=np.int64)
+    for row in ds.map_batches(batch_hist, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        out += np.frombuffer(row["hist"], dtype=np.int64)
+    return out
+
+
+def quantiles_from_hist(hist: np.ndarray, lo: float, hi: float,
+                        qs: list[float]) -> list[float]:
+    """Quantiles from a merged histogram; error ≤ one bin width."""
+    cum = np.cumsum(hist)
+    total = cum[-1]
+    bins = len(hist)
+    out = []
+    for q in qs:
+        target = q * total
+        b = int(np.searchsorted(cum, target))
+        out.append(lo + (hi - lo) * (b + 0.5) / bins)
+    return out
+
+
+# ---------------------------------------------------------- exact median
+
+
+def exact_group_median(ds: Dataset, key: str, value: str,
+                       alias: str = "median_x1000") -> Dataset:
+    """Exact per-group continuous median (interpolated), returned as
+    integer thousandths so float rounding cannot diverge from the SQL
+    oracle. Assumes one group fits one task — the documented boundary;
+    use quantile_histogram beyond it."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        med = float(np.median(g[value].to_numpy()))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             alias: np.array([round(med * 1000)], dtype=np.int64)})
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")

@@ -1,0 +1,62 @@
+"""Sketch family: HLL distinct, mergeable histogram quantiles, median."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_hll_accuracy(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(9)
+    true_n = 5000
+    vals = [f"user-{i}" for i in rng.integers(0, true_n, size=40_000)]
+    distinct_true = len(set(vals))
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
+    est = hll_distinct(ds, "u", p=12)
+    assert abs(est - distinct_true) / distinct_true < 0.05  # ~1.6% expected
+
+
+def test_hll_merge_invariance(ray_session):
+    """Same data, different block layout → same estimate (mergeable)."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sketch import hll_distinct
+
+    vals = [f"k{i}" for i in range(3000)]
+    t = pa.table({"u": pa.array(vals)})
+    a = hll_distinct(rd.from_arrow(t).repartition(2), "u")
+    b = hll_distinct(rd.from_arrow(t).repartition(16), "u")
+    assert a == b
+
+
+def test_quantile_histogram(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sketch import (
+        quantile_histogram,
+        quantiles_from_hist,
+    )
+
+    rng = np.random.default_rng(4)
+    v = rng.uniform(0, 100, size=50_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)})).repartition(8)
+    hist = quantile_histogram(ds, "v", lo=0.0, hi=100.0, bins=2048)
+    assert hist.sum() == len(v)
+    got = quantiles_from_hist(hist, 0.0, 100.0, [0.25, 0.5, 0.9])
+    exact = np.quantile(v, [0.25, 0.5, 0.9])
+    for g, e in zip(got, exact):
+        assert abs(g - e) <= 100.0 / 2048 + 1e-9  # one bin width
+
+
+def test_exact_group_median(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sketch import exact_group_median
+
+    t = pa.table({"k": ["a"] * 4 + ["b"] * 3,
+                  "v": [1.0, 2.0, 3.0, 10.0, 5.0, 7.0, 9.0]})
+    out = {r["k"]: r["median_x1000"] for r in
+           exact_group_median(rd.from_arrow(t), "k", "v").take_all()}
+    assert out == {"a": 2500, "b": 7000}
