@@ -435,6 +435,22 @@ FROM s QUALIFY rank <= 10
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate ANN (k-means coarse quantizer, rows-only check —
+    recall + exactness-at-full-probe asserted in pytest)."""
+    import numpy as np
+
+    from ..stages.ann import ivf_topk, load_queries
+
+    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
+    corpus_ids, corpus = load_queries(f"{sf_dir}/embeddings.parquet",
+                                      n_queries=200)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, qids, qmat, k=10, n_lists=8, nprobe=3,
+                    train_sample=corpus).select_columns(
+        ["query_id", "vec_id", "rank"])
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate ANN (scale path; rows-only check —
     recall vs brute force asserted in pytest)."""
@@ -660,6 +676,7 @@ QUERIES = {
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
     "broadcast_join": q_broadcast_join,

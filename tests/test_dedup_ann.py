@@ -157,3 +157,35 @@ def test_ngram_jaccard_exact_planted(docs_with_dups):
              ngram_jaccard_pairs(with_g, ["g"], threshold=0.8).take_all()}
     assert (0, 60) in pairs and (1, 61) in pairs  # exact dups: jaccard 1.0
     assert (2, 62) in pairs                        # near dup: ~0.86
+
+
+def test_ivf_topk_recall(embeddings_ds):
+    from go_logagent_ray.stages.ann import ivf_topk
+
+    ds, mat = embeddings_ds
+    qids = np.arange(10)
+    out = ivf_topk(ds, qids, mat[:10], k=10, n_lists=8, nprobe=4,
+                   train_sample=mat[::3]).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for q in range(10):
+        exact = set(_exact_topk(mat, q, 10))
+        recalls.append(len(exact & by_q.get(q, set())) / 10)
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ivf_full_probe_is_exact(embeddings_ds):
+    """nprobe == n_lists scans everything -> must equal brute force."""
+    from go_logagent_ray.stages.ann import ivf_topk
+
+    ds, mat = embeddings_ds
+    out = ivf_topk(ds, np.array([0, 1]), mat[:2], k=5, n_lists=4, nprobe=4,
+                   train_sample=mat[::5]).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 1):
+        got = [v for _, v in sorted(by_q[q])]
+        assert got == _exact_topk(mat, q, 5), q
