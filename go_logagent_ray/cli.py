@@ -22,19 +22,25 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    """Returns (ray, created): connect to RAY_ADDRESS if set (e.g. a
+    cluster head under ``ray job submit``), else start a local instance.
+    Only sessions WE created are shut down afterwards."""
+    import os
+
     import ray
 
     if ray.is_initialized():
-        return ray
+        return ray, False
     kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
                   logging_level="ERROR")
-    if num_cpus is not None:
+    address = os.environ.get("RAY_ADDRESS", "local")
+    if num_cpus is not None and address == "local":
         kwargs["num_cpus"] = num_cpus
-    ray.init(address="local", **kwargs)
+    ray.init(address=address, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, True
 
 
 def cmd_run(args) -> int:
@@ -42,7 +48,7 @@ def cmd_run(args) -> int:
 
     with open(args.config) as f:
         conf = json.load(f)
-    ray = _init_ray(args.num_cpus)
+    ray, created = _init_ray(args.num_cpus)
     try:
         pipe = Pipeline.from_config(conf)
         res = pipe.run()
@@ -50,11 +56,12 @@ def cmd_run(args) -> int:
                           "rows": res["routed"].count()}))
         return 0
     finally:
-        ray.shutdown()
+        if created:
+            ray.shutdown()
 
 
 def cmd_flagship(args) -> int:
-    ray = _init_ray(args.num_cpus)
+    ray, created = _init_ray(args.num_cpus)
     try:
         if args.checkpoint:
             from .pipelines.transcript import (
@@ -82,7 +89,8 @@ def cmd_flagship(args) -> int:
                               "counts": {k: int(v) for k, v in counts.items()}}))
         return 0
     finally:
-        ray.shutdown()
+        if created:
+            ray.shutdown()
 
 
 def cmd_gen(args) -> int:

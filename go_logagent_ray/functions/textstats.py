@@ -106,11 +106,18 @@ def lang_id(batch: pa.Table, field: str = "text", out: str = "pred_lang") -> pa.
         pc.count_substring_regex(col, pattern=_CJK_RE), pa.float64()
     ).to_numpy(zero_copy_only=False)
 
+    # null text → NaN scores; NaN <= 0 is False, so without an explicit
+    # mask argmax would confidently label null rows index 0 ("en")
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False).astype(bool, copy=False)
+    scores = np.nan_to_num(scores, nan=0.0)
+    cjk = np.nan_to_num(cjk, nan=0.0)
+
     best = np.argmax(scores, axis=0)
     best_score = scores[best, np.arange(n)]
     pred = np.array(langs, dtype=object)[best]
     pred[best_score <= 0] = "und"
     pred[cjk > 0] = "zh"  # CJK presence dominates stopword hits
+    pred[null_mask] = "und"
     return set_column(batch, out, pa.array(pred, type=pa.string()))
 
 

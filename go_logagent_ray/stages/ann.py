@@ -31,6 +31,8 @@ def _fixed_matrix(col: pa.Array | pa.ChunkedArray, dim: int | None = None) -> np
     # variable list<float>: all rows must share the dim
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     lens = np.diff(offs)
+    if len(arr) == 0:
+        return np.zeros((0, dim or 0), dtype=np.float32)
     d = int(lens[0]) if dim is None else dim
     if not (lens == d).all():
         raise ValueError("embedding column has inconsistent dimensions")
@@ -61,6 +63,10 @@ class _BatchTopK:
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         ids = as_combined(batch[self.id_field]).to_numpy(zero_copy_only=False)
         mat = _normalize(_fixed_matrix(batch[self.vec_field]))
         sims = mat @ self.qmat.T  # (batch, Q)
@@ -167,6 +173,8 @@ class _IvfAssigner:
         self.vec_field = vec_field
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_list", pa.array([], type=pa.int64()))
         mat = _normalize(_fixed_matrix(batch[self.vec_field]))
         lists = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(lists))
@@ -262,6 +270,8 @@ class _LshBucketer:
         return (signs.astype(np.uint32) @ (1 << np.arange(signs.shape[1], dtype=np.uint32))).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], type=pa.int64()))
         mat = _normalize(_fixed_matrix(batch[self.vec_field]))
         b = self.bucket_of(mat)
         return batch.append_column("bucket", pa.array(b))

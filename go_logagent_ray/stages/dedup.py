@@ -233,7 +233,10 @@ class SimHasher:
         if hs.size == 0:
             return 0
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-        votes = bits.sum(axis=0) * 2 - len(hs)
+        # votes MUST be signed: uint64 arithmetic wraps minority-bit votes
+        # (sum*2 - n) to huge positives, setting nearly every bit for docs
+        # with odd token counts and collapsing unrelated simhashes
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - np.int64(len(hs))
         return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

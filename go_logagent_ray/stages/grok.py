@@ -35,15 +35,27 @@ _SAFE_RUN = re.compile(r"[A-Za-z0-9_= :,/-]{4,}")
 
 
 def _literal_prefilter(grok_source: str) -> str | None:
-    """Longest safe literal run in the grok source's non-token text.
+    """Longest SOUND literal run in the grok source's non-token text.
 
-    Safe chars carry no regex meaning, so the run is a required substring
-    of every match (returns None when nothing ≥4 chars is found — raw
-    regex like ``.*`` in the source breaks runs naturally)."""
+    A run is only a required substring of every match if no adjacent raw
+    regex changes its meaning, so: segments containing alternation or
+    groups are skipped entirely; a run followed by a quantifier
+    (``? * + {``) drops its last char (the quantifier makes it optional);
+    a run preceded by a backslash drops its first char (escape sequence).
+    Returns None when nothing ≥4 chars survives."""
     best = ""
     for segment in _TOKEN_RE.split(grok_source):
-        for run in _SAFE_RUN.findall(segment):
-            if len(run) > len(best):
+        if any(c in segment for c in "|()"):
+            continue  # alternation/grouping can bypass any literal
+        for m in _SAFE_RUN.finditer(segment):
+            run = m.group(0)
+            after = segment[m.end():m.end() + 1]
+            if after in ("?", "*", "+", "{"):
+                run = run[:-1]
+            before = segment[m.start() - 1:m.start()]
+            if before == "\\":
+                run = run[1:]
+            if len(run) >= 4 and len(run) > len(best):
                 best = run
     return best or None
 

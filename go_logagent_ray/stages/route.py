@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.arrow_utils import as_combined, bool_mask_numpy, has_tag, set_column
+from ..functions.arrow_utils import set_column
 
 
 class RouteStage:
@@ -39,24 +39,12 @@ class RouteStage:
         self.tags_column = tags_column
 
     def _pred_mask(self, batch: pa.Table, pred: tuple) -> np.ndarray:
-        kind = pred[0]
-        if kind == "has_tag":
-            return has_tag(batch[self.tags_column], pred[1])
-        field = pred[1]
-        if field not in batch.column_names:
-            return np.zeros(batch.num_rows, dtype=bool)
-        col = as_combined(batch[field])
-        if kind == "eq":
-            return bool_mask_numpy(pc.equal(col, pred[2]))
-        if kind == "ne":
-            return bool_mask_numpy(pc.not_equal(col, pred[2]))
-        if kind == "in":
-            return bool_mask_numpy(pc.is_in(col, value_set=pa.array(pred[2], type=col.type)))
-        if kind == "not_null":
-            return bool_mask_numpy(pc.is_valid(col))
-        if kind == "is_null":
-            return bool_mask_numpy(pc.is_null(col))
-        raise ValueError(f"unknown predicate {kind!r}")
+        # shared predicate mini-language — one evaluator for router AND
+        # drop filter (lt/gt/match included); import here to avoid a
+        # module cycle at import time
+        from .filters import pred_mask
+
+        return pred_mask(batch, pred, tags_column=self.tags_column)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

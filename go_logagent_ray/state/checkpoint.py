@@ -148,7 +148,6 @@ def run_checkpointed(
     rows_per_partition: int = 2_000_000,
     rgs_per_fragment: int = 4,
     max_partitions: int | None = None,
-    sink_counts_keys: list[str] | None = None,
 ) -> dict:
     """Run the pipeline wave-per-partition with atomic resume.
 
@@ -165,13 +164,18 @@ def run_checkpointed(
 
     total_counts: Counter = Counter()
     manifests: list[dict] = []
-    for m in done.values():
-        total_counts.update(m["counts"])
-        manifests.append(m)
 
-    ran = 0
+    ran = skipped = 0
     for pid, part in enumerate(parts):
-        if pid in done:
+        committed = done.get(pid)
+        # A committed pid is only valid if its LINEAGE matches the freshly
+        # planned fragments — if the input file set changed, partition ids
+        # reshuffle and a config-hash-only match would silently skip the
+        # wrong data. Mismatched manifests are recomputed (atomic replace).
+        if committed is not None and committed["fragments"] == [asdict(f) for f in part]:
+            total_counts.update(committed["counts"])
+            manifests.append(committed)
+            skipped += 1
             continue
         if max_partitions is not None and ran >= max_partitions:
             break
@@ -193,8 +197,8 @@ def run_checkpointed(
 
     return {
         "committed": ran,
-        "skipped": len(done),
-        "remaining": len(parts) - len(done) - ran,
+        "skipped": skipped,
+        "remaining": len(parts) - skipped - ran,
         "total_counts": total_counts,
         "manifests": manifests,
     }

@@ -90,3 +90,25 @@ def test_leftover_staging_is_cleaned(ray_session, transcripts_parquet, tmp_path)
                          rows_per_partition=10_000)
     assert r["committed"] >= 1
     assert not glob.glob(os.path.join(out, ".tmp-*"))
+
+
+def test_changed_input_set_invalidates_stale_partitions(
+        ray_session, transcripts_parquet, tmp_path):
+    """Regression: adding an input file reshuffles partition ids; a
+    config-hash-only match would skip the WRONG data silently."""
+    import shutil
+
+    extra = str(tmp_path / "a_extra.parquet")  # sorts BEFORE the original
+    shutil.copy(transcripts_parquet, extra)
+    out = str(tmp_path / "ck_changed")
+
+    r1 = run_checkpointed([transcripts_parquet], out, _transform, SPEC,
+                          rows_per_partition=128, rgs_per_fragment=1)
+    n1 = sum(r1["total_counts"].values())
+
+    # resubmit with an additional file: previously committed pids now map
+    # to different fragments and must be recomputed, not skipped
+    r2 = run_checkpointed([extra, transcripts_parquet], out, _transform, SPEC,
+                          rows_per_partition=128, rgs_per_fragment=1)
+    assert sum(r2["total_counts"].values()) == 2 * n1
+    assert r2["remaining"] == 0

@@ -189,3 +189,15 @@ def test_ivf_full_probe_is_exact(embeddings_ds):
     for q in (0, 1):
         got = [v for _, v in sorted(by_q[q])]
         assert got == _exact_topk(mat, q, 5), q
+
+
+def test_simhash_odd_token_count_no_collapse():
+    """Regression: uint64 vote underflow made every odd-token-count doc's
+    simhash all-ones, collapsing unrelated docs to Hamming distance 0."""
+    from go_logagent_ray.functions.hashing import stable_hash64
+    from go_logagent_ray.stages.dedup import SimHasher
+
+    a = SimHasher.simhash64(stable_hash64("the quick brown fox jumps over the lazy dog".split()))
+    b = SimHasher.simhash64(stable_hash64("completely different words entirely unrelated to that text".split()))
+    assert a != 0xFFFFFFFFFFFFFFFF and b != 0xFFFFFFFFFFFFFFFF
+    assert bin(a ^ b).count("1") > 3  # unrelated docs stay far apart

@@ -87,3 +87,18 @@ def test_grok_appends_to_existing_tags():
 def test_base_patterns_all_compile():
     for name in BASE_PATTERNS:
         compile_grok(f"%{{{name}:x}}")
+
+
+def test_prefilter_soundness_with_adjacent_regex():
+    """Regression: quantifier/alternation adjacent to a literal run must
+    not produce an unsound prefilter that drops matching rows."""
+    from go_logagent_ray.stages.grok import GrokParser, _literal_prefilter
+
+    # 'u?' makes the u optional; 'color' must still match
+    p = GrokParser(["%{INT:n} colou?r"], prefilter=True)
+    out = p(_table(["5 color", "6 colour", "zzz"]))
+    assert out["n"].to_pylist() == ["5", "6", None]
+    # alternation segments are skipped entirely
+    assert _literal_prefilter("%{INT:n} foox|barx") is None
+    # escape prefix drops the first run char
+    assert _literal_prefilter(r"%{INT:n} \dabcdef=") == "abcdef="

@@ -162,3 +162,23 @@ def test_custom_stage_registration(ray_session):
     pipe = Pipeline.from_config({"filters": [{"type": "upper_text"}]})
     ds = rd.from_items([{"text": "abc"}])
     assert pipe.transform(ds).take_all()[0]["text"] == "ABC"
+
+
+def test_lang_id_null_text_is_und():
+    """Regression: NaN scores from null text made argmax pick 'en'."""
+    from go_logagent_ray.functions.textstats import lang_id
+
+    t = pa.table({"text": pa.array([None, "the cat and the dog", ""],
+                                   type=pa.string())})
+    assert lang_id(t)["pred_lang"].to_pylist() == ["und", "en", "und"]
+
+
+def test_route_rules_support_full_predicate_language(ray_session):
+    """Route rules now share the drop-filter evaluator (lt/gt/match)."""
+    from go_logagent_ray.stages.route import RouteStage
+
+    t = pa.table({"v": [5.0, 50.0], "s": ["xa", "yb"]})
+    out = RouteStage([("big", [("gt", "v", 10.0)]),
+                      ("xs", [("match", "s", "^x")])],
+                     default_sink="rest")(t)
+    assert out["route"].to_pylist() == ["xs", "big"]
