@@ -80,6 +80,7 @@ def distinct_count(ds: Dataset, text_field: str = "text") -> int:
 # ---------------------------------------------------------------- minhash
 
 _MERSENNE = (1 << 61) - 1
+_FNV = np.uint64(1099511628211)
 
 
 def _ngram_strings(text: str, n: int) -> list[str]:
@@ -91,10 +92,81 @@ def _ngram_strings(text: str, n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized lowercase + whitespace tokenize + stable 64-bit hash.
+
+    polars ``str.extract_all(r"\\S+")`` matches Python ``str.split()``
+    token-for-token; hashing runs over the EXPLODED token series in one
+    vectorized pass. Returns (flat token hashes, row offsets len n+1).
+    """
+    import polars as pl
+
+    s = pl.Series(pl.from_arrow(texts)).cast(pl.Utf8).fill_null("")
+    toks = s.str.to_lowercase().str.extract_all(r"\S+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    # explode turns an empty list into one null row — drop those; real
+    # tokens are never null (extract_all yields strings)
+    flat = toks.explode().drop_nulls()
+    h = flat.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    return h, offsets
+
+
+def _shingle_hashes(h: np.ndarray, offsets: np.ndarray,
+                    n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word-n-gram shingle hashes via a rolling polynomial over the flat
+    token-hash array — no per-document Python in the common case.
+
+    A shingle hash is ``((h0*F + h1)*F + h2)...`` over the window's token
+    hashes (uint64 wraparound; F = FNV prime). Rows with 0 < t < n tokens
+    yield ONE shingle combining all their tokens (mirrors the string
+    path, where the whole short doc is its only shingle). Returns
+    (flat shingle hashes, per-row offsets).
+    """
+    lens = np.diff(offsets)
+    if n == 1:
+        return h, offsets
+    glens = np.where(lens >= n, lens - (n - 1), np.minimum(lens, 1))
+    goffsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(glens, out=goffsets[1:])
+    grams = np.zeros(int(goffsets[-1]), dtype=np.uint64)
+    if grams.size == 0:
+        return grams, goffsets
+    m = len(h) - n + 1
+    if m > 0:
+        win = h[:m].copy()
+        for k in range(1, n):
+            win = win * _FNV + h[k : k + m]
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        valid = (np.arange(m) + n) <= offsets[row_of[:m] + 1]
+        src = np.nonzero(valid)[0]
+        dst = goffsets[row_of[src]] + (src - offsets[row_of[src]])
+        grams[dst] = win[src]
+    # short rows (rare): one polynomial over all t < n tokens
+    for r in np.nonzero((lens > 0) & (lens < n))[0]:
+        row = h[offsets[r] : offsets[r + 1]]
+        v = row[0]
+        for k in range(1, len(row)):
+            v = v * _FNV + row[k]
+        grams[goffsets[r]] = v
+    return grams, goffsets
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    by = np.ascontiguousarray(x.astype(np.uint64, copy=False)).view(np.uint8)
+    return np.unpackbits(by).reshape(x.size, 64).sum(axis=1).astype(np.int64)
+
+
 class MinHasher:
-    """Per-batch minhash signatures (actor-pool friendly: the random
-    permutation parameters are generated once in __init__ from a fixed
-    seed, identical on every actor)."""
+    """Per-batch minhash signatures, fully vectorized: polars tokenize →
+    rolling-polynomial shingle hashes → per-permutation min via
+    ``np.minimum.reduceat`` over row offsets (no per-document loop).
+    Actor-pool friendly: the permutation parameters are generated once in
+    __init__ from a fixed seed, identical on every actor."""
 
     def __init__(self, num_perm: int = 64, ngram: int = 3, seed: int = 7,
                  text_field: str = "text", id_field: str = "doc_id"):
@@ -115,22 +187,22 @@ class MinHasher:
         return vals.min(axis=1).astype(np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import stable_hash64
-
-        texts = as_combined(batch[self.text_field]).to_pylist()
-        # hash every shingle in the batch in ONE vectorized pass
-        # (builtin hash() is process-salted — never use it across workers)
-        per_doc = [_ngram_strings(t or "", self.ngram) for t in texts]
-        offsets = np.zeros(len(per_doc) + 1, dtype=np.int64)
-        np.cumsum([len(p) for p in per_doc], out=offsets[1:])
-        flat = [s for p in per_doc for s in p]
-        all_h = stable_hash64(flat) if flat else np.array([], dtype=np.uint64)
-        sigs = np.stack([
-            self.signature(np.unique(all_h[offsets[i]:offsets[i + 1]]))
-            for i in range(len(per_doc))
-        ])
+        n = batch.num_rows
+        h, off = _tokenize_hashes(as_combined(batch[self.text_field]))
+        grams, goff = _shingle_hashes(h, off, self.ngram)
+        sigs = np.full((self.num_perm, n), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        if grams.size:
+            starts = np.minimum(goff[:-1], grams.size - 1)
+            nonempty = goff[:-1] < goff[1:]
+            # one vectorized pass per permutation, O(shingles) memory —
+            # the (perm × shingles) matrix would be GBs at real batch sizes
+            for p in range(self.num_perm):
+                vals = (self.a[p] * grams + self.b[p]) % _MERSENNE
+                mins = np.minimum.reduceat(vals, starts)
+                sigs[p, nonempty] = mins[nonempty]
         sig_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1), type=pa.uint64()), self.num_perm
+            pa.array(sigs.T.reshape(-1), type=pa.uint64()), self.num_perm
         )
         return pa.table({
             self.id_field: as_combined(batch[self.id_field]),
@@ -147,17 +219,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     text_field: str = "text",
     id_field: str = "doc_id",
+    pair_shards: int = 64,
 ) -> Dataset:
     """Near-duplicate pairs via MinHash + banded LSH.
 
     Pipeline: signatures (map_batches, carries only (id, sig)) → explode
-    to (band, band_hash, id, sig) rows → groupby buckets → pairwise verify
-    on signature agreement ≥ threshold inside each bucket → global dedup
-    of pairs. Only signatures shuffle — never text. Returns
-    (doc_a, doc_b, sim_est) with doc_a < doc_b.
+    to (band, band_hash, id, sig) rows → groupby sharded buckets →
+    pairwise verify on signature agreement ≥ threshold inside each bucket
+    → global dedup of pairs. Only signatures shuffle — never text.
+    Returns (doc_a, doc_b, sim_est) with doc_a < doc_b.
+
+    Pair-mining groups are ``(band, bkey % pair_shards)`` — NOT bare
+    ``band``: a band group holds one row per document (corpus/bands rows
+    in one pandas frame — OOM at scale), while the sharded key bounds a
+    group to ~corpus/(bands·shards) without ever splitting a bucket
+    (``bkey`` is constant within a bucket). Size ``pair_shards`` to the
+    cluster; results are identical for any value ≥ 1.
     """
     rows_per_band = num_perm // bands
     assert bands * rows_per_band == num_perm
+    shards = np.uint64(max(1, pair_shards))
 
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(
@@ -176,10 +257,12 @@ def minhash_lsh_pairs(
         bh = view.astype(np.uint64)
         key = np.zeros((n, bands), dtype=np.uint64)
         for r in range(rows_per_band):
-            key = key * np.uint64(1099511628211) + bh[:, :, r]
+            key = key * _FNV + bh[:, :, r]
+        flat_key = key.reshape(-1)
         return pa.table({
             "band": pa.array(band_ids),
-            "bkey": pa.array(key.reshape(-1), type=pa.uint64()),
+            "shard": pa.array((flat_key % shards).astype(np.int32)),
+            "bkey": pa.array(flat_key, type=pa.uint64()),
             id_field: pa.array(np.repeat(ids, bands)),
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(np.repeat(sig, bands, axis=0).reshape(-1),
@@ -189,9 +272,9 @@ def minhash_lsh_pairs(
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """One group per BAND (few, large groups — per-bucket map_groups
-        would spin up tens of thousands of tiny pandas frames); buckets
-        are processed with a C-speed pandas groupby inside."""
+        """One group per (band, shard) — bounded size at scale; buckets
+        are processed with a C-speed pandas groupby inside (per-bucket
+        map_groups would spin up tens of thousands of tiny frames)."""
         out_a, out_b, out_s = [], [], []
         for _, bucket in group.groupby("bkey", sort=False):
             if len(bucket) < 2:
@@ -207,7 +290,8 @@ def minhash_lsh_pairs(
                     out_s.append(float(eq[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "sim_est": out_s})
 
-    pairs = exploded.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = exploded.groupby(["band", "shard"]).map_groups(
+        band_pairs, batch_format="pandas")
 
     # same pair can surface from multiple bands — keep one (pair set is
     # small relative to the corpus; dedup on the compact pair keys only)
@@ -221,7 +305,9 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit simhash over word tokens (vectorized bit-vote accumulation)."""
+    """64-bit simhash over word tokens, fully vectorized: polars tokenize
+    → per-bit vote sums via ``np.add.reduceat`` over row offsets (no
+    per-document loop)."""
 
     def __init__(self, text_field: str = "text", id_field: str = "doc_id"):
         self.text_field = text_field
@@ -240,18 +326,22 @@ class SimHasher:
         return int((votes > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import stable_hash64
-
-        texts = as_combined(batch[self.text_field]).to_pylist()
-        per_doc = [(t or "").lower().split() for t in texts]
-        offsets = np.zeros(len(per_doc) + 1, dtype=np.int64)
-        np.cumsum([len(p) for p in per_doc], out=offsets[1:])
-        flat = [s for p in per_doc for s in p]
-        all_h = stable_hash64(flat) if flat else np.array([], dtype=np.uint64)
-        sh = np.array([
-            self.simhash64(all_h[offsets[i]:offsets[i + 1]])
-            for i in range(len(per_doc))
-        ], dtype=np.uint64)
+        n = batch.num_rows
+        h, off = _tokenize_hashes(as_combined(batch[self.text_field]))
+        counts = np.diff(off)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        if h.size:
+            starts = np.minimum(off[:-1], h.size - 1)
+            nonempty = counts > 0
+            # one vectorized pass per bit, O(tokens) memory — the
+            # (tokens × 64) bit matrix would be GBs at real batch sizes
+            for k in range(64):
+                bit = ((h >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
+                s = np.add.reduceat(bit, starts)
+                votes[nonempty, k] = s[nonempty]
+        signed = votes * 2 - counts[:, None]
+        sh = (signed > 0).astype(np.uint64) @ (
+            np.uint64(1) << np.arange(64, dtype=np.uint64))
         return pa.table({
             self.id_field: as_combined(batch[self.id_field]),
             "simhash": pa.array(sh, type=pa.uint64()),
@@ -259,10 +349,13 @@ class SimHasher:
 
 
 def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
-                  text_field: str = "text", id_field: str = "doc_id") -> Dataset:
+                  text_field: str = "text", id_field: str = "doc_id",
+                  pair_shards: int = 64) -> Dataset:
     """Near-dup pairs with simhash: 4×16-bit bands (any exact band match →
     candidate; Hamming ≤ max_hamming verifies). Returns (doc_a, doc_b,
-    hamming)."""
+    hamming). Pair-mining groups are ``(band, bkey % pair_shards)`` so no
+    task holds corpus/4 signatures (see minhash_lsh_pairs)."""
+    shards = np.uint64(max(1, pair_shards))
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_field=text_field,
                                               id_field=id_field),
@@ -275,9 +368,11 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
         n = len(sh)
         bands = np.arange(4, dtype=np.int32)
         keys = np.stack([(sh >> (16 * b)) & 0xFFFF for b in range(4)], axis=1)
+        flat_key = keys.reshape(-1).astype(np.uint64)
         return pa.table({
             "band": pa.array(np.tile(bands, n)),
-            "bkey": pa.array(keys.reshape(-1).astype(np.uint64)),
+            "shard": pa.array((flat_key % shards).astype(np.int32)),
+            "bkey": pa.array(flat_key),
             id_field: pa.array(np.repeat(ids, 4)),
             "simhash": pa.array(np.repeat(sh, 4), type=pa.uint64()),
         })
@@ -291,14 +386,13 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             ids = g[id_field].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.uint64)
             for i in range(len(ids)):
-                x = sh[i + 1 :] ^ sh[i]
-                ham = np.array([bin(int(v)).count("1") for v in x])
+                ham = _popcount64(sh[i + 1 :] ^ sh[i])
                 for j in np.nonzero(ham <= max_hamming)[0]:
                     a.append(ids[i]); b.append(ids[i + 1 + j]); hd.append(int(ham[j]))
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": hd})
 
     pairs = hashed.map_batches(explode, batch_format="pyarrow") \
-        .groupby("band").map_groups(band_pairs, batch_format="pandas")
+        .groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
 
     def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
         return group.drop_duplicates(["doc_a", "doc_b"])
@@ -393,6 +487,84 @@ def ngram_jaccard_pairs(
 
     return ds.select_columns(group_keys + [id_field, text_field]) \
         .groupby(group_keys).map_groups(pairs_in_group, batch_format="pandas")
+
+
+def ngram_jaccard_pairs_lsh(
+    ds: Dataset,
+    docs_path: str,
+    *,
+    threshold_permille: int = 400,
+    ngram: int = 3,
+    text_field: str = "text",
+    id_field: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    candidate_threshold: float = 0.2,
+    pair_shards: int = 64,
+) -> Dataset:
+    """GLOBAL exact word-n-gram Jaccard near-dup pairs: MinHash-LSH
+    candidate generation + exact verification — the scale path that
+    ``ngram_jaccard_pairs``'s docstring promises (no all-pairs work, no
+    group-key co-location assumption).
+
+    Stage 1 mines candidates with banded LSH (bounded sharded groups,
+    only signatures shuffle). Stage 2 collects the candidate ID SET
+    (≪ corpus by construction), reads ONLY those texts back from
+    ``docs_path`` with a pushed-down ID filter, builds each candidate's
+    n-gram set once, broadcasts the map via ``ray.put``, and verifies
+    pairs exactly inside ``map_batches``. The Jaccard test is integer
+    math (``inter·1000 ≥ threshold_permille·union``) so it is bit-exact
+    against a SQL oracle. Returns (doc_a, doc_b, n_inter, n_union).
+
+    Recall note: a true pair is missed only if LSH banding misses it —
+    P(miss) = (1-j^r)^b, negligible for j ≥ 0.8 at 16×4 banding; the
+    verification step makes false positives impossible.
+    """
+    import pyarrow.dataset as pads
+    import ray
+
+    cands = minhash_lsh_pairs(
+        ds, num_perm=num_perm, bands=bands, ngram=ngram,
+        threshold=candidate_threshold, text_field=text_field,
+        id_field=id_field, pair_shards=pair_shards,
+    ).select_columns(["doc_a", "doc_b"]).materialize()
+
+    ids: set = set()
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        ids.update(b["doc_a"].to_pylist())
+        ids.update(b["doc_b"].to_pylist())
+    if ids:
+        t = pads.dataset(docs_path).to_table(
+            columns=[id_field, text_field],
+            filter=pc.field(id_field).isin(sorted(ids)))
+        gram_sets = {
+            i: frozenset(_ngram_strings(x or "", ngram))
+            for i, x in zip(t[id_field].to_pylist(), t[text_field].to_pylist())
+        }
+    else:
+        gram_sets = {}
+    ref = ray.put(gram_sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        gs = ray.get(ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        oa, ob, ni, nu = [], [], [], []
+        for x, y in zip(a, b):
+            sa = gs.get(x, frozenset())
+            sb = gs.get(y, frozenset())
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union > 0 and inter * 1000 >= threshold_permille * union:
+                oa.append(x); ob.append(y); ni.append(inter); nu.append(union)
+        return pa.table({
+            "doc_a": pa.array(oa, type=pa.int64()),
+            "doc_b": pa.array(ob, type=pa.int64()),
+            "n_inter": pa.array(ni, type=pa.int64()),
+            "n_union": pa.array(nu, type=pa.int64()),
+        })
+
+    return cands.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- charset jaccard
