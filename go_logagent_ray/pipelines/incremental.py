@@ -71,16 +71,17 @@ class IncrementalRunner:
         if table.num_rows == 0:
             # nothing arrived this tick — no chunk dir, no state update
             return {"chunk": self.chunk_idx, "rows": 0, "groups_touched": 0}
-        routed = parse_enrich_route(rd.from_arrow(table), batch_size=None)
+        routed = parse_enrich_route(rd.from_arrow(table), batch_size=None) \
+            .materialize()
         chunk_dir = os.path.join(self.out_dir, f"chunk-{self.chunk_idx:06d}")
         routed.write_parquet(chunk_dir, partition_cols=["route"])
 
-        # partial counts for this chunk from the written files (pruned)
-        import pyarrow.parquet as pq
-        import pyarrow.dataset as pads
-
-        dset = pads.dataset(chunk_dir, partitioning="hive")
-        t = dset.to_table(columns=self.agg_keys)
+        # partial counts straight from the materialized chunk blocks — no
+        # disk round-trip re-reading what was just written
+        t = pa.concat_tables(
+            tb if isinstance(tb, pa.Table) else pa.Table.from_batches([tb])
+            for tb in ray.get(routed.select_columns(self.agg_keys).to_arrow_refs())
+        )
         part = t.group_by(self.agg_keys).aggregate([([], "count_all")])
         keys = list(zip(*[part[k].to_pylist() for k in self.agg_keys]))
         vals = part["count_all"].to_pylist()

@@ -23,20 +23,21 @@ from ray.data import Dataset
 from ..functions.arrow_utils import as_combined
 
 
-def _fixed_matrix(col: pa.Array | pa.ChunkedArray, dim: int | None = None) -> np.ndarray:
+def _fixed_matrix(col: pa.Array | pa.ChunkedArray, dim: int | None = None,
+                  dtype=np.float32) -> np.ndarray:
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.FixedSizeListArray):
         d = arr.type.list_size
-        return np.asarray(arr.values, dtype=np.float32).reshape(len(arr), d)
+        return np.asarray(arr.values, dtype=dtype).reshape(len(arr), d)
     # variable list<float>: all rows must share the dim
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     lens = np.diff(offs)
     if len(arr) == 0:
-        return np.zeros((0, dim or 0), dtype=np.float32)
+        return np.zeros((0, dim or 0), dtype=dtype)
     d = int(lens[0]) if dim is None else dim
     if not (lens == d).all():
         raise ValueError("embedding column has inconsistent dimensions")
-    vals = np.asarray(arr.values, dtype=np.float32)
+    vals = np.asarray(arr.values, dtype=dtype)
     start = offs[0]
     return vals[start : start + len(arr) * d].reshape(len(arr), d)
 
@@ -48,19 +49,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _BatchTopK:
-    """Actor: holds the normalized query matrix; emits local top-k."""
+    """Actor: holds the normalized query matrix; emits local top-k.
+
+    ``dtype`` defaults to float64 so the similarity ordering is computed
+    at the same precision as the DuckDB oracle (float32 can flip the
+    order of two near-equal sims — a latent rank flake); pass float32 as
+    the documented memory-saving option at scale."""
 
     def __init__(self, queries_ref, k: int, id_field: str, vec_field: str,
-                 exclude_self: bool):
+                 exclude_self: bool, dtype=np.float64):
         import ray
 
         q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
         self.qids = np.asarray(q["ids"])
-        self.qmat = _normalize(np.asarray(q["mat"], dtype=np.float32))
+        self.qmat = _normalize(np.asarray(q["mat"], dtype=dtype))
         self.k = k
         self.id_field = id_field
         self.vec_field = vec_field
         self.exclude_self = exclude_self
+        self.dtype = dtype
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -68,7 +75,7 @@ class _BatchTopK:
                              "vec_id": pa.array([], type=pa.int64()),
                              "sim": pa.array([], type=pa.float64())})
         ids = as_combined(batch[self.id_field]).to_numpy(zero_copy_only=False)
-        mat = _normalize(_fixed_matrix(batch[self.vec_field]))
+        mat = _normalize(_fixed_matrix(batch[self.vec_field], dtype=self.dtype))
         sims = mat @ self.qmat.T  # (batch, Q)
         if self.exclude_self:
             self_mask = ids[:, None] == self.qids[None, :]
@@ -96,12 +103,14 @@ def cosine_topk(
     id_field: str = "vec_id",
     vec_field: str = "embedding",
     exclude_self: bool = True,
+    dtype=np.float64,
 ) -> Dataset:
     """Exact cosine top-k per query. Result: (query_id, vec_id, sim, rank).
 
     Scale: queries broadcast via ``ray.put`` once; per-batch matmul emits
     ≤ k rows per query per batch; the only shuffle is the per-query
-    top-k reduce over those candidates.
+    top-k reduce over those candidates. ``dtype=np.float32`` halves the
+    matmul footprint when oracle-exact rank ordering is not required.
     """
     import ray
 
@@ -109,7 +118,8 @@ def cosine_topk(
     candidates = ds.map_batches(
         _BatchTopK,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_field=id_field,
-                                   vec_field=vec_field, exclude_self=exclude_self),
+                                   vec_field=vec_field, exclude_self=exclude_self,
+                                   dtype=dtype),
         batch_format="pyarrow", concurrency=2,
     )
 
@@ -189,6 +199,7 @@ def ivf_topk(
     n_lists: int = 16,
     nprobe: int = 4,
     train_sample: np.ndarray | None = None,
+    train_limit: int = 4096,
     id_field: str = "vec_id",
     vec_field: str = "embedding",
     seed: int = 13,
@@ -199,18 +210,25 @@ def ivf_topk(
     Scale shape: centroids train on a driver-side SAMPLE (tiny), broadcast
     once; assignment is one matmul per batch; the per-list grouping is the
     only shuffle and each group is ~corpus/n_lists. Same output schema as
-    cosine_topk; recall vs exact measured in tests (rises with nprobe).
+    cosine_topk; recall vs exact measured in tests (rises with nprobe;
+    ``nprobe == n_lists`` scans every list and is EXACT). When
+    ``train_sample`` is omitted, a deterministic corpus prefix (first
+    ``train_limit`` rows) trains the quantizer — never the query matrix,
+    whose tiny size would silently collapse recall.
     """
     import ray
 
-    qmat = _normalize(np.asarray(query_mat, dtype=np.float32))
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
     if train_sample is None:
-        train_sample = qmat  # tests pass an explicit corpus sample
+        head = ds.limit(train_limit).take_all()
+        if not head:
+            raise ValueError("ivf_topk: empty corpus, nothing to train on")
+        train_sample = np.asarray([r[vec_field] for r in head], dtype=np.float32)
     centroids = _kmeans(_normalize(np.asarray(train_sample, dtype=np.float32)),
                         min(n_lists, len(train_sample)), seed=seed)
     cref = ray.put(centroids)
 
-    q_probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    q_probe = np.argsort(-(qmat @ centroids.T.astype(np.float64)), axis=1)[:, :nprobe]
     probes: dict[int, list[int]] = {}
     for qi, lists in enumerate(q_probe):
         for li in lists:
@@ -229,7 +247,8 @@ def ivf_topk(
         if not q_idx:
             return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
         ids = group[id_field].to_numpy()
-        mat = _normalize(np.stack(group[vec_field].to_numpy()).astype(np.float32))
+        # float64 scoring: sims ordering must match the float64 SQL oracle
+        mat = _normalize(np.stack(group[vec_field].to_numpy()).astype(np.float64))
         sims = mat @ qmat[q_idx].T
         rows_q, rows_v, rows_s = [], [], []
         for ci, qi in enumerate(q_idx):
@@ -286,22 +305,33 @@ def lsh_topk(
     dim: int,
     n_planes: int = 8,
     multiprobe: int = 1,
+    probe_all: bool = False,
     id_field: str = "vec_id",
     vec_field: str = "embedding",
     seed: int = 11,
 ) -> Dataset:
     """Approximate cosine top-k: score only within the query's LSH bucket
     (plus ``multiprobe`` single-bit-flip neighbor buckets). Same output
-    schema as cosine_topk; recall vs exact measured in tests."""
+    schema as cosine_topk; recall vs exact measured in tests.
+
+    ``probe_all=True`` probes every 2^n_planes bucket, which makes the
+    result EXACT (every corpus vector scored exactly once) — the
+    verification mode used to check the bucketed machinery end-to-end
+    against a SQL oracle; approximate settings are recall-tested in
+    pytest."""
     bucketer = _LshBucketer(dim, n_planes, seed, id_field, vec_field)
-    qmat = _normalize(np.asarray(query_mat, dtype=np.float32))
-    qb = bucketer.bucket_of(qmat)
-    # multiprobe: original bucket + single-bit-flip neighbors up to `multiprobe`
+    qmat = _normalize(np.asarray(query_mat, dtype=np.float64))
+    qb = bucketer.bucket_of(qmat.astype(np.float32))
     probes: dict[int, list[int]] = {}
-    for qi, b in enumerate(qb):
-        bl = [int(b)] + [int(b) ^ (1 << f) for f in range(n_planes)][: max(0, multiprobe)]
-        for bb in bl:
-            probes.setdefault(bb, []).append(qi)
+    if probe_all:
+        all_q = list(range(len(qb)))
+        probes = {bb: all_q for bb in range(1 << n_planes)}
+    else:
+        # multiprobe: original bucket + single-bit-flip neighbors
+        for qi, b in enumerate(qb):
+            bl = [int(b)] + [int(b) ^ (1 << f) for f in range(n_planes)][: max(0, multiprobe)]
+            for bb in bl:
+                probes.setdefault(bb, []).append(qi)
 
     qids = np.asarray(query_ids)
 
@@ -318,7 +348,8 @@ def lsh_topk(
         if not q_idx:
             return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
         ids = group[id_field].to_numpy()
-        mat = _normalize(np.stack(group[vec_field].to_numpy()).astype(np.float32))
+        # float64 scoring: ordering must match the float64 SQL oracle
+        mat = _normalize(np.stack(group[vec_field].to_numpy()).astype(np.float64))
         sub_q = qmat[q_idx]
         sims = mat @ sub_q.T
         rows_q, rows_v, rows_s = [], [], []

@@ -38,15 +38,17 @@ def _literal_prefilter(grok_source: str) -> str | None:
     """Longest SOUND literal run in the grok source's non-token text.
 
     A run is only a required substring of every match if no adjacent raw
-    regex changes its meaning, so: segments containing alternation or
-    groups are skipped entirely; a run followed by a quantifier
-    (``? * + {``) drops its last char (the quantifier makes it optional);
-    a run preceded by a backslash drops its first char (escape sequence).
-    Returns None when nothing ≥4 chars survives."""
+    regex changes its meaning, so: segments containing alternation,
+    groups, or character classes are skipped entirely (text inside
+    ``[...]`` is a set of alternatives, not a literal — treating it as
+    required would silently drop matching rows); a run followed by a
+    quantifier (``? * + {``) drops its last char (the quantifier makes it
+    optional); a run preceded by a backslash drops its first char (escape
+    sequence). Returns None when nothing ≥4 chars survives."""
     best = ""
     for segment in _TOKEN_RE.split(grok_source):
-        if any(c in segment for c in "|()"):
-            continue  # alternation/grouping can bypass any literal
+        if any(c in segment for c in "|()[]"):
+            continue  # alternation/grouping/classes can bypass any literal
         for m in _SAFE_RUN.finditer(segment):
             run = m.group(0)
             after = segment[m.end():m.end() + 1]

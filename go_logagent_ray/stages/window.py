@@ -6,10 +6,16 @@ pattern: ``groupby(key).map_groups(fn)`` where ``fn`` sees one FULL key
 group and applies ordered logic with pandas/numpy.
 
 PARTITIONING ASSUMPTION (documented per SURVEY.md §2 custom-operator
-rule): every operator here requires all rows of one key in one group —
-i.e. unsalted grouping. Hot-key skew bounds the largest group; for
-associative window stats (max gap, counts) a salted two-level variant
-(group by (key, salt) then re-merge) is provided via ``merge="assoc"``.
+rule): ``session_windows`` requires all rows of one key in one group —
+i.e. unsalted grouping, with hot-key skew bounding the largest group.
+``conv_gap_stats`` additionally offers a SALTED two-level variant
+(``salt_chunk=...``): rows group by ``(key, order // salt_chunk)`` —
+contiguous order-ranges — each sub-group emits an associative partial
+(count, internal max gap, boundary timestamps), and a tiny second
+groupby re-merges partials per key, adding the cross-boundary gaps. A
+hot conversation then never pins a whole task; results are identical to
+the unsalted path. ``hot`` (e.g. from ``partition.hot_keys``) restricts
+salting to the skewed keys so normal keys keep single-group partials.
 """
 
 from __future__ import annotations
@@ -20,12 +26,20 @@ from ray.data import Dataset
 
 
 def conv_gap_stats(ds: Dataset, key: str = "conv_id", ts: str = "ts",
-                   order: str = "turn_idx") -> Dataset:
+                   order: str = "turn_idx", *,
+                   salt_chunk: int | None = None,
+                   hot: set | None = None) -> Dataset:
     """Per-conversation ordered stats: turn count, max inter-turn gap (µs).
 
-    The ordered diff needs each conversation complete and sorted by
-    ``order`` — grouped per key, sorted inside the group (no global sort).
+    The ordered diff needs each conversation's rows consecutive and
+    sorted by ``order``. Default path: one group per key. Salted path
+    (``salt_chunk`` set): two-level associative merge as described in the
+    module docstring — exact for any chunking because ``order // chunk``
+    buckets are contiguous in sort order, so every consecutive-row gap is
+    either inside one bucket or between two adjacent bucket boundaries.
     """
+    if salt_chunk is not None:
+        return _gap_stats_salted(ds, key, ts, order, salt_chunk, hot)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order)
@@ -36,6 +50,54 @@ def conv_gap_stats(ds: Dataset, key: str = "conv_id", ts: str = "ts",
                              "max_gap_us": np.array([gap], dtype=np.int64)})
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def _gap_stats_salted(ds: Dataset, key: str, ts: str, order: str,
+                      salt_chunk: int, hot: set | None) -> Dataset:
+    """Two-level assoc merge: (key, order//chunk) partials → per-key merge."""
+    import pyarrow as pa
+
+    from ..functions.arrow_utils import as_combined, set_column
+
+    chunk = max(1, int(salt_chunk))
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        o = as_combined(batch[order]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        salt = o // chunk
+        if hot is not None:
+            keys = np.asarray(as_combined(batch[key]).to_pylist(), dtype=object)
+            salt = np.where(np.isin(keys, list(hot)), salt, 0)
+        return set_column(batch, "_salt", pa.array(salt, type=pa.int64()))
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = int(np.diff(t).max()) if len(t) > 1 else 0
+        return pd.DataFrame({
+            key: [g[key].iloc[0]],
+            "_first_order": np.array([g[order].iloc[0]], dtype=np.int64),
+            "_first_ts": np.array([t[0]], dtype=np.int64),
+            "_last_ts": np.array([t[-1]], dtype=np.int64),
+            "n_turns": np.array([len(g)], dtype=np.int64),
+            "max_gap_us": np.array([gap], dtype=np.int64),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_first_order")
+        gap = int(g["max_gap_us"].max())
+        if len(g) > 1:
+            cross = g["_first_ts"].to_numpy()[1:] - g["_last_ts"].to_numpy()[:-1]
+            gap = max(gap, int(cross.max()))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "n_turns": np.array([g["n_turns"].sum()], dtype=np.int64),
+                             "max_gap_us": np.array([gap], dtype=np.int64)})
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    partials = salted.groupby([key, "_salt"]).map_groups(
+        partial, batch_format="pandas")
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")
 
 
 def tumbling_window_counts(ds: Dataset, key: str, ts: str,

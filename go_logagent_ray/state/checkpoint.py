@@ -51,9 +51,20 @@ class Fragment:
 
 
 def list_fragments(paths: list[str], rgs_per_fragment: int = 4) -> list[Fragment]:
-    """Deterministic fragment list: sorted files, fixed row-group chunks."""
+    """Deterministic fragment list: sorted files, fixed row-group chunks.
+
+    Directory entries expand to their sorted contained ``*.parquet``
+    files (recursive), so CLI ``--input DIR`` works as advertised."""
+    files: list[str] = []
+    for path in paths:
+        if os.path.isdir(path):
+            for root, _dirs, names in os.walk(path):
+                files.extend(os.path.join(root, n) for n in names
+                             if n.endswith(".parquet"))
+        else:
+            files.append(path)
     frags: list[Fragment] = []
-    for path in sorted(paths):
+    for path in sorted(files):
         md = pq.ParquetFile(path).metadata
         n = md.num_row_groups
         for start in range(0, n, rgs_per_fragment):

@@ -112,3 +112,20 @@ def test_changed_input_set_invalidates_stale_partitions(
                           rows_per_partition=128, rgs_per_fragment=1)
     assert sum(r2["total_counts"].values()) == 2 * n1
     assert r2["remaining"] == 0
+
+
+def test_list_fragments_expands_directories(transcripts_parquet, tmp_path):
+    """Regression (ADVICE r1): CLI --input DIR advertised but a directory
+    crashed ParquetFile; directories now expand to contained parquet."""
+    import shutil
+
+    d = tmp_path / "indir" / "nested"
+    d.mkdir(parents=True)
+    shutil.copy(transcripts_parquet, d / "b.parquet")
+    shutil.copy(transcripts_parquet, d / "a.parquet")
+    frags = list_fragments([str(tmp_path / "indir")], rgs_per_fragment=2)
+    files = sorted({f.file for f in frags})
+    assert [os.path.basename(f) for f in files] == ["a.parquet", "b.parquet"]
+    direct = list_fragments([str(d / "a.parquet"), str(d / "b.parquet")],
+                            rgs_per_fragment=2)
+    assert frags == direct

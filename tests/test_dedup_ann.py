@@ -201,3 +201,102 @@ def test_simhash_odd_token_count_no_collapse():
     b = SimHasher.simhash64(stable_hash64("completely different words entirely unrelated to that text".split()))
     assert a != 0xFFFFFFFFFFFFFFFF and b != 0xFFFFFFFFFFFFFFFF
     assert bin(a ^ b).count("1") > 3  # unrelated docs stay far apart
+
+
+def test_popcount64_matches_python():
+    from go_logagent_ray.stages.dedup import _popcount64
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 2**63, size=257, dtype=np.uint64)
+    x[0] = 0
+    x[1] = np.iinfo(np.uint64).max
+    got = _popcount64(x)
+    exp = np.array([bin(int(v)).count("1") for v in x])
+    assert (got == exp).all()
+
+
+def test_minhash_pair_shards_invariant(docs_with_dups):
+    """Sharded (band, bkey % K) grouping must return the identical pair
+    set for any shard count (buckets never split)."""
+    from go_logagent_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_with_dups
+    one = sorted((r["doc_a"], r["doc_b"]) for r in
+                 minhash_lsh_pairs(ds, threshold=0.6, pair_shards=1).take_all())
+    many = sorted((r["doc_a"], r["doc_b"]) for r in
+                  minhash_lsh_pairs(ds, threshold=0.6, pair_shards=16).take_all())
+    assert one == many and one
+
+
+def test_simhash_pair_shards_invariant(docs_with_dups):
+    from go_logagent_ray.stages.dedup import simhash_pairs
+
+    ds, _ = docs_with_dups
+    one = sorted((r["doc_a"], r["doc_b"]) for r in
+                 simhash_pairs(ds, pair_shards=1).take_all())
+    many = sorted((r["doc_a"], r["doc_b"]) for r in
+                  simhash_pairs(ds, pair_shards=16).take_all())
+    assert one == many and one
+
+
+def test_ngram_jaccard_lsh_verified(docs_with_dups, tmp_path):
+    """Global LSH-prefiltered exact n-gram Jaccard: planted pairs found
+    with exact (n_inter, n_union), background pairs rejected."""
+    import pyarrow.parquet as pq
+
+    from go_logagent_ray.stages.dedup import ngram_jaccard_pairs_lsh
+
+    ds, texts = docs_with_dups
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)}), path)
+    out = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+           for r in ngram_jaccard_pairs_lsh(
+               ds, path, threshold_permille=800).take_all()}
+    # exact dups: identical 28-trigram sets
+    assert out[(0, 60)] == (28, 28)
+    assert out[(1, 61)] == (28, 28)
+    # near dup of 2 (one word changed): 25 shared / 31 union = 0.806
+    assert (2, 62) in out
+    ni, nu = out[(2, 62)]
+    assert ni * 1000 >= 800 * nu
+
+
+def test_ivf_default_train_samples_corpus(embeddings_ds):
+    """Regression: train_sample=None must train on a corpus prefix, not
+    the (tiny) query matrix — recall at moderate nprobe stays healthy and
+    full probe stays exact."""
+    from go_logagent_ray.stages.ann import ivf_topk
+
+    ds, mat = embeddings_ds
+    qids = np.arange(10)
+    out = ivf_topk(ds, qids, mat[:10], k=10, n_lists=8, nprobe=4).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(set(_exact_topk(mat, q, 10)) & by_q.get(q, set())) / 10
+               for q in range(10)]
+    assert np.mean(recalls) >= 0.6, recalls
+
+    out = ivf_topk(ds, np.array([0, 1]), mat[:2], k=5, n_lists=4,
+                   nprobe=4).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 1):
+        assert [v for _, v in sorted(by_q[q])] == _exact_topk(mat, q, 5), q
+
+
+def test_lsh_probe_all_is_exact(embeddings_ds):
+    """probe_all scores every bucket exactly once -> equals brute force."""
+    from go_logagent_ray.stages.ann import lsh_topk
+
+    ds, mat = embeddings_ds
+    out = lsh_topk(ds, np.array([0, 1, 2]), mat[:3], k=5, dim=mat.shape[1],
+                   n_planes=4, probe_all=True).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 1, 2):
+        assert [v for _, v in sorted(by_q[q])] == _exact_topk(mat, q, 5), q

@@ -102,3 +102,16 @@ def test_prefilter_soundness_with_adjacent_regex():
     assert _literal_prefilter("%{INT:n} foox|barx") is None
     # escape prefix drops the first run char
     assert _literal_prefilter(r"%{INT:n} \dabcdef=") == "abcdef="
+
+
+def test_prefilter_skips_character_classes():
+    """Regression (ADVICE r1): text inside [...] is a set of alternatives,
+    not a required literal — '%{INT:n} id=[A-Z0-9]+x' must not prefilter
+    on 'A-Z0-9' and drop rows like '7 id=AB12x' that actually match."""
+    from go_logagent_ray.stages.grok import GrokParser, _literal_prefilter
+
+    assert _literal_prefilter("%{INT:n} id=[A-Z0-9]+x") is None
+    p = GrokParser(["%{INT:n} id=[A-Z0-9]+x"], prefilter=True)
+    out = p(_table(["7 id=AB12x", "nope"]))
+    assert out["n"].to_pylist() == ["7", None]
+    assert out["tags"].to_pylist() == [[], ["_grokparsefailure"]]

@@ -71,3 +71,55 @@ def test_session_windows_split_on_gap(ray_session):
     out = session_windows(rd.from_arrow(t), gap_us=3600 * 1_000_000).take_all()
     assert len(out) == 2
     assert [r["n_turns"] for r in sorted(out, key=lambda r: r["session_idx"])] == [2, 2]
+
+
+def test_salted_gap_stats_match_unsalted(ray_session, transcripts_small):
+    """The two-level (key, order//chunk) assoc merge must be exact: same
+    (n_turns, max_gap_us) as the single-group path, including the planted
+    hot conversations, with bounded sub-group sizes."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.partition import hot_keys
+    from go_logagent_ray.stages.window import conv_gap_stats
+
+    ds = rd.from_arrow(transcripts_small)
+
+    def collect(out):
+        return {r["conv_id"]: (r["n_turns"], r["max_gap_us"])
+                for r in out.take_all()}
+
+    base = collect(conv_gap_stats(ds))
+    salted = collect(conv_gap_stats(ds, salt_chunk=16))
+    assert salted == base
+    # hot-restricted salting: only skewed keys split into chunks
+    hot = hot_keys(ds, "conv_id", threshold=100)
+    assert hot
+    restricted = collect(conv_gap_stats(ds, salt_chunk=16, hot=hot))
+    assert restricted == base
+
+
+def test_salted_gap_stats_bounds_groups(ray_session):
+    """A 1000-turn hot conversation with chunk=64 must never put more
+    than 64 rows in one partial sub-group."""
+    import pandas as pd
+    import ray.data as rd
+
+    n = 1000
+    ts = pd.date_range("2024-01-01", periods=n, freq="7min").values
+    t = pa.table({
+        "conv_id": pa.array(["hot"] * n),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    ds = rd.from_arrow(t)
+    out = {r["conv_id"]: (r["n_turns"], r["max_gap_us"])
+           for r in conv_gap_stats_import(ds, salt_chunk=64).take_all()}
+    assert out == {"hot": (n, 7 * 60 * 1_000_000)}
+    # bound check: order // 64 puts at most 64 turns in one sub-group
+    assert int(np.max(np.bincount(np.arange(n) // 64))) == 64
+
+
+def conv_gap_stats_import(ds, **kw):
+    from go_logagent_ray.stages.window import conv_gap_stats
+
+    return conv_gap_stats(ds, **kw)
