@@ -361,21 +361,95 @@ def q_langid_docs(sf_dir: str):
 
 
 def q_fingerprint_docs(sf_dir: str):
-    """Content fingerprinting (normalized 64-bit hash; rows-only check)."""
+    """Content fingerprinting, ORACLE-CHECKED: each doc mapped to the min
+    doc_id sharing its normalized-content fingerprint. The raw 64-bit
+    hash is environment-stable but not SQL-reproducible; the induced
+    partition (who shares a fingerprint with whom) IS — the SQL oracle
+    partitions by the same normalization (lowercase, collapse
+    non-alphanumerics, trim). The rep map is ≤ distinct-content
+    cardinality (broadcast regime, documented boundary)."""
+    import ray
+    from ray.data.aggregate import Min
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(fingerprint, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.select_columns(["doc_id", "fp64"])
+    fp = ds.map_batches(fingerprint, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["fp64", "doc_id"]).group_by(["fp64"]) \
+            .aggregate([("doc_id", "min")])
+        return t.rename_columns(["fp64", "doc_id"])
+
+    reps = fp.map_batches(partial, batch_format="pyarrow") \
+        .groupby("fp64").aggregate(Min("doc_id", alias_name="rep"))
+    rep_rows = reps.take_all()
+    keys = pa.array([r["fp64"] for r in rep_rows], type=pa.uint64())
+    vals = pa.array([r["rep"] for r in rep_rows], type=pa.int64())
+    ref = ray.put((keys, vals))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        idx = pc.index_in(as_combined(batch["fp64"]), value_set=k)
+        return pa.table({"doc_id": as_combined(batch["doc_id"]),
+                         "fp_rep": pc.take(v, idx)})
+
+    return fp.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT_DOCS = r"""
+SELECT doc_id,
+       MIN(doc_id) OVER (
+           PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+       ) AS fp_rep
+FROM documents
+"""
+
+
+# Shared CTE: word-trigram sets per document, exactly mirroring
+# _ngram_strings (lowercase, whitespace split, join-by-space trigrams;
+# short docs yield their whole token list as the single shingle).
+_TRIGRAM_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+tg AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+              ELSE list_transform(range(1, len(tk) - 1),
+                                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+         END AS grams
+  FROM toks),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams)) AS ni,
+         len(list_distinct(list_concat(a.grams, b.grams))) AS nu
+  FROM tg a JOIN tg b ON a.doc_id < b.doc_id)
+"""
 
 
 def q_minhash_pairs_docs(sf_dir: str):
-    """MinHash+LSH near-dup pairs (rows-only check; exactness tested in
-    pytest against a planted-duplicate fixture)."""
+    """MinHash+LSH near-dup pairs, ORACLE-CHECKED against exact word-
+    trigram Jaccard ≥ 0.7 over all pairs: the corpus's near-dup pairs sit
+    at j ≥ 0.9 (banding miss probability < 1e-7 at 16×4) and the densest
+    background pair is far below threshold, so the estimate-thresholded
+    pair set equals the exact set. Estimates stay out of the compared
+    columns."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.7)
+    return minhash_lsh_pairs(ds, threshold=0.7) \
+        .select_columns(["doc_a", "doc_b"])
+
+
+SQL_MINHASH_PAIRS_DOCS = _TRIGRAM_CTE + """
+SELECT doc_a, doc_b FROM p WHERE nu > 0 AND ni * 10 >= 7 * nu
+"""
 
 
 def q_simhash_pairs_docs(sf_dir: str):
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs (rows-only check: Hamming distance over
+    simhash bits is not SQL-expressible; planted-dup exactness is
+    pytest-verified)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
 
@@ -402,14 +476,22 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 
 
 def q_ngram_jaccard_docs(sf_dir: str):
-    """Exact word-trigram Jaccard near-dup pairs within (lang, source)
-    groups (rows-only: DuckDB's jaccard() is char-set based; exactness
-    is pytest-verified against planted duplicates)."""
-    from ..stages.dedup import ngram_jaccard_pairs
+    """GLOBAL exact word-trigram Jaccard near-dup pairs via MinHash-LSH
+    candidates + exact verification (``ngram_jaccard_pairs_lsh``) —
+    ORACLE-CHECKED against the all-pairs exact Jaccard SQL with integer-
+    math thresholding. The grouped all-pairs variant
+    (``ngram_jaccard_pairs``) remains the small-co-group path."""
+    from ..stages.dedup import ngram_jaccard_pairs_lsh
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
-    return ngram_jaccard_pairs(ds, ["lang", "source"], threshold=0.4) \
-        .select_columns(["doc_a", "doc_b"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs_lsh(ds, f"{sf_dir}/documents.parquet",
+                                   threshold_permille=400)
+
+
+SQL_NGRAM_JACCARD_DOCS = _TRIGRAM_CTE + """
+SELECT doc_a, doc_b, CAST(ni AS BIGINT) AS n_inter, CAST(nu AS BIGINT) AS n_union
+FROM p WHERE nu > 0 AND ni * 1000 >= 400 * nu
+"""
 
 
 def q_ann_topk(sf_dir: str):
@@ -436,15 +518,28 @@ FROM s QUALIFY rank <= 10
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF approximate ANN (k-means coarse quantizer, rows-only check —
-    recall + exactness-at-full-probe asserted in pytest)."""
-    import numpy as np
-
+    """IVF ANN in full-probe verification mode: ``nprobe == n_lists``
+    scans every inverted list exactly once, so the result is EXACT and
+    ORACLE-CHECKED against the brute-force SQL — verifying the quantize/
+    assign/score/reduce machinery end-to-end. Approximate settings
+    (``q_ann_ivf_approx``, pytest recall tests) cover the scale path."""
     from ..stages.ann import ivf_topk, load_queries
 
     qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
-    corpus_ids, corpus = load_queries(f"{sf_dir}/embeddings.parquet",
-                                      n_queries=200)
+    _, corpus = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=200)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk(ds, qids, qmat, k=10, n_lists=8, nprobe=8,
+                    train_sample=corpus).select_columns(
+        ["query_id", "vec_id", "rank"])
+
+
+def q_ann_ivf_approx(sf_dir: str):
+    """IVF ANN at a real approximate setting (nprobe=3 of 8 lists;
+    rows-only check — recall floor asserted in pytest)."""
+    from ..stages.ann import ivf_topk, load_queries
+
+    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
+    _, corpus = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=200)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, qids, qmat, k=10, n_lists=8, nprobe=3,
                     train_sample=corpus).select_columns(
@@ -452,8 +547,22 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate ANN (scale path; rows-only check —
-    recall vs brute force asserted in pytest)."""
+    """LSH ANN in probe-all verification mode: every 2^n_planes bucket is
+    scored, each corpus vector exactly once, so the result is EXACT and
+    ORACLE-CHECKED against the brute-force SQL — verifying the bucket/
+    score/reduce machinery. Approximate settings (``q_ann_lsh_approx``,
+    pytest recall tests) cover the scale path."""
+    from ..stages.ann import load_queries, lsh_topk
+
+    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_topk(ds, qids, qmat, k=10, dim=qmat.shape[1], n_planes=6,
+                    probe_all=True).select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_lsh_approx(sf_dir: str):
+    """LSH ANN at a real approximate setting (multiprobe=2 of 6 planes;
+    rows-only check — recall vs brute force asserted in pytest)."""
     from ..stages.ann import load_queries, lsh_topk
 
     qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
@@ -648,6 +757,242 @@ SELECT DISTINCT event_type FROM events
 """
 
 
+# ============================================= lifecycle / state / config
+
+# Shared oracle fragment: the flagship events→transcripts→route mapping
+# (mirrors _events_to_transcripts + ROUTE_RULES).
+_FLAGSHIP_T_CTE = """
+WITH t AS (
+  SELECT CASE event_type WHEN 'error' THEN 'tool' WHEN 'click' THEN 'user'
+              WHEN 'signup' THEN 'system' ELSE 'assistant' END AS role,
+         CASE event_type WHEN 'error' THEN 'search' WHEN 'purchase' THEN 'bash'
+              ELSE '' END AS tool,
+         CASE WHEN event_type = 'error' THEN 'err' ELSE 'ok' END AS status,
+         ts
+  FROM events),
+r AS (
+  SELECT CASE WHEN status IN ('err','timeout') THEN 'errors'
+              WHEN role = 'tool' OR tool <> '' THEN 'tool_events'
+              WHEN role IN ('user','assistant') THEN 'chat'
+              ELSE 'default' END AS route,
+         role, tool, status, ts
+  FROM t)
+"""
+
+
+def q_checkpoint_resume_counts(sf_dir: str):
+    """ST2/A2: per-partition checkpointed run with a simulated kill +
+    resume. Run 1 commits ONE partition then stops (max_partitions=1);
+    run 2 resumes, skips the committed partition (lineage-validated
+    manifest), finishes the rest, and reports per-sink counts merged
+    from MANIFEST row-count metrics — the numbers the oracle checks."""
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..state.checkpoint import run_checkpointed
+    from .transcript import parse_enrich_route
+
+    work = tempfile.mkdtemp(prefix="glr_ckpt_q_")
+    try:
+        in_dir = os.path.join(work, "in")
+        transcripts_from_events(sf_dir).repartition(4).write_parquet(in_dir)
+        total = sum(
+            pq.ParquetFile(os.path.join(in_dir, f)).metadata.num_rows
+            for f in os.listdir(in_dir) if f.endswith(".parquet"))
+        out = os.path.join(work, "out")
+        spec = {"q": "checkpoint_resume_counts", "v": 1}
+        rpp = max(1, math.ceil(total / 3))
+        run_checkpointed([in_dir], out, parse_enrich_route, spec,
+                         rows_per_partition=rpp, max_partitions=1)
+        r2 = run_checkpointed([in_dir], out, parse_enrich_route, spec,
+                              rows_per_partition=rpp)
+        assert r2["skipped"] >= 1, "resume did not skip committed work"
+        assert r2["remaining"] == 0
+        counts = r2["total_counts"]
+        routes = sorted(counts)
+        return pa.table({
+            "route": pa.array(routes, type=pa.string()),
+            "n": pa.array([counts[r] for r in routes], type=pa.int64()),
+        })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_CHECKPOINT_RESUME_COUNTS = _FLAGSHIP_T_CTE + """
+SELECT route, COUNT(*) AS n FROM r GROUP BY route
+"""
+
+
+def q_parquet_sink_counts(sf_dir: str):
+    """R4: hive-partitioned parquet sink fan-out, verified by READING THE
+    WRITTEN FILES BACK (the hive dir name restores `route`) and counting
+    per sink — checks what landed on disk, not just the in-memory route."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .transcript import parse_enrich_route, write_sinks
+
+    work = tempfile.mkdtemp(prefix="glr_sink_q_")
+    try:
+        routed = parse_enrich_route(transcripts_from_events(sf_dir))
+        write_sinks(routed, work)
+        back = rd.read_parquet(work)
+        return counts_by(back, ["route"], alias="n").to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_json_sink_rows(sf_dir: str):
+    """R3: the redis-sink stand-in — errors route written as JSON lines,
+    read back and counted per role (verifies the JSON sink contents)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .transcript import parse_enrich_route, write_errors_json
+
+    work = tempfile.mkdtemp(prefix="glr_json_q_")
+    try:
+        routed = parse_enrich_route(transcripts_from_events(sf_dir))
+        write_errors_json(routed, work)
+        back = rd.read_json(work)
+        return counts_by(back, ["role"], alias="n").to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_JSON_SINK_ROWS = _FLAGSHIP_T_CTE + """
+SELECT role, COUNT(*) AS n FROM r WHERE route = 'errors' GROUP BY role
+"""
+
+
+def q_config_pipeline_counts(sf_dir: str):
+    """X1/X2: the declarative config path — registry-compiled JSON parse +
+    route stages (Pipeline.from_config), grouped sum per route."""
+    from ..config import Pipeline
+
+    conf = {
+        "input": {"type": "parquet", "paths": [f"{sf_dir}/events.parquet"],
+                  "columns": ["event_type", "props"]},
+        "filters": [
+            {"type": "json", "field": "props", "keys": {"k": "int"}},
+            {"type": "route", "default_sink": "default", "rules": [
+                ["errors", [["eq", "event_type", "error"]]],
+                ["activity", [["in", "event_type", ["click", "view"]]]],
+                ["conversions", [["in", "event_type", ["signup", "purchase"]]]],
+            ]},
+        ],
+        "outputs": [],
+    }
+    pipe = Pipeline.from_config(conf)
+    routed = pipe.transform(pipe.read())
+    return grouped_sum(routed, ["route"], "k", alias="sum_k")
+
+
+SQL_CONFIG_PIPELINE_COUNTS = r"""
+SELECT CASE WHEN event_type = 'error' THEN 'errors'
+            WHEN event_type IN ('click','view') THEN 'activity'
+            WHEN event_type IN ('signup','purchase') THEN 'conversions'
+            ELSE 'default' END AS route,
+       CAST(SUM(CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+"""
+
+
+_INLINE_LINES = [
+    "INFO start id=1", "WARN disk id=2", "ERROR crash id=3",
+    "INFO done id=4", "ERROR again id=5", "TRACE boot id=6",
+]
+
+
+def q_inline_source_counts(sf_dir: str):
+    """S2: the stdin/inline input analog — a fixed in-memory line list fed
+    through the config path (items input) and grok-parsed. sf_dir is
+    unused by design; the SQL oracle carries the same literal VALUES."""
+    from ..config import Pipeline
+
+    conf = {
+        "input": {"type": "items",
+                  "items": [{"text": line} for line in _INLINE_LINES]},
+        "filters": [
+            {"type": "grok",
+             "patterns": ["%{LOGLEVEL:level} %{WORD:msg} id=%{INT:id:int}"]},
+        ],
+        "outputs": [],
+    }
+    pipe = Pipeline.from_config(conf)
+    out = pipe.transform(pipe.read())
+    return out.select_columns(["level", "msg", "id"])
+
+
+SQL_INLINE_SOURCE_COUNTS = (
+    "WITH lines(text) AS (VALUES "
+    + ", ".join(f"('{line}')" for line in _INLINE_LINES)
+    + r""")
+SELECT regexp_extract(text, '(INFO|WARN|ERROR|TRACE)', 1) AS level,
+       regexp_extract(text, '^\w+ (\w+)', 1) AS msg,
+       CAST(regexp_extract(text, 'id=([+-]?\d+)', 1) AS BIGINT) AS id
+FROM lines
+""")
+
+
+def q_sorted_turns(sf_dir: str):
+    """O1 + the per-turn TEXT EQUALITY invariant: first 100 transcript
+    rows under the stable (conv_id, turn_idx) verification sort, text
+    included — byte-compared against the SQL-constructed text."""
+    ds = transcripts_from_events(sf_dir)
+    return ds.sort(["conv_id", "turn_idx"]).limit(100) \
+        .select_columns(["conv_id", "turn_idx", "text"])
+
+
+SQL_SORTED_TURNS = """
+SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(event_id AS INTEGER) AS turn_idx,
+       (CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END)
+       || ' executor conv=c' || CAST(user_id AS VARCHAR)
+       || ' step=' || CAST(event_id AS VARCHAR)
+       || ' latency_ms=' || CAST(event_id AS VARCHAR)
+       || ' status=' || (CASE WHEN event_type = 'error' THEN 'err' ELSE 'ok' END)
+       || ' :: payload' AS text
+FROM events
+ORDER BY conv_id, turn_idx
+LIMIT 100
+"""
+
+
+def q_conv_gap_stats_salted(sf_dir: str):
+    """P + W wired together: the hot-key census (stages/partition.py)
+    picks skewed keys; conv_gap_stats runs the salted two-level assoc
+    merge ((key, order//chunk) partials, per-key re-merge) for them —
+    bounded group sizes, same oracle as the unsalted query."""
+    from ..stages.partition import hot_keys
+    from ..stages.window import conv_gap_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    hot = hot_keys(ds, "user_id", threshold=32)
+    return conv_gap_stats(ds, key="user_id", ts="ts", order="event_id",
+                          salt_chunk=64, hot=hot)
+
+
+def q_hll_distinct_events(sf_dir: str):
+    """A3 sketch path: HyperLogLog distinct user_id estimate (rows-only:
+    the estimate is deterministic but approximate by design; accuracy and
+    merge invariance are pytest-asserted)."""
+    from ..stages.sketch import hll_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_distinct(ds, "user_id", p=12)
+    return pa.table({"est_distinct": pa.array([int(round(est))],
+                                              type=pa.int64())})
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -676,13 +1021,23 @@ QUERIES = {
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_approx": q_ann_lsh_approx,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_approx": q_ann_ivf_approx,
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
     "broadcast_join": q_broadcast_join,
     "median_value_events": q_median_value_events,
     "hash_join": q_hash_join,
     "distinct_event_types": q_distinct_event_types,
+    "checkpoint_resume_counts": q_checkpoint_resume_counts,
+    "parquet_sink_counts": q_parquet_sink_counts,
+    "json_sink_rows": q_json_sink_rows,
+    "config_pipeline_counts": q_config_pipeline_counts,
+    "inline_source_counts": q_inline_source_counts,
+    "sorted_turns": q_sorted_turns,
+    "conv_gap_stats_salted": q_conv_gap_stats_salted,
+    "hll_distinct_events": q_hll_distinct_events,
 }
 
 ORACLE_SQL = {
@@ -711,6 +1066,20 @@ ORACLE_SQL = {
     "median_value_events": SQL_MEDIAN_VALUE_EVENTS,
     "hash_join": SQL_HASH_JOIN,
     "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
-    # langid_docs / fingerprint_docs / minhash_pairs_docs /
-    # simhash_pairs_docs / ann_lsh: heuristic or hash-based — rows-only.
+    "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
+    "ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
+    "ann_lsh": SQL_ANN_TOPK,   # probe-all mode is exact (see q_ann_lsh)
+    "ann_ivf": SQL_ANN_TOPK,   # full-probe mode is exact (see q_ann_ivf)
+    "checkpoint_resume_counts": SQL_CHECKPOINT_RESUME_COUNTS,
+    "parquet_sink_counts": SQL_CHECKPOINT_RESUME_COUNTS,  # same route counts
+    "json_sink_rows": SQL_JSON_SINK_ROWS,
+    "config_pipeline_counts": SQL_CONFIG_PIPELINE_COUNTS,
+    "inline_source_counts": SQL_INLINE_SOURCE_COUNTS,
+    "sorted_turns": SQL_SORTED_TURNS,
+    "conv_gap_stats_salted": SQL_CONV_GAP_STATS,  # salting must not change stats
+    # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
+    # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
+    # ann_ivf_approx (approximate by design; recall pytest-asserted),
+    # hll_distinct_events (approximate sketch; accuracy pytest-asserted).
 }
