@@ -48,9 +48,12 @@ def register_stage(name: str):
 def _grok(conf: dict):
     return GrokParser, {
         "patterns": conf["patterns"],
-        "field": conf.get("field", "text"),
+        "field": conf.get("field", "text"),  # str or list (multi-field match)
         "extra_patterns": conf.get("extra_patterns"),
+        "patterns_path": conf.get("patterns_path"),
+        "patterns_dir": conf.get("patterns_dir"),
         "tag_on_failure": conf.get("tag_on_failure", "_grokparsefailure"),
+        "prefilter": conf.get("prefilter", False),
     }
 
 

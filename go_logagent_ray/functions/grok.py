@@ -42,7 +42,104 @@ BASE_PATTERNS: dict[str, str] = {
     ),
     "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",
     "PATH": r"(?:/[\w.-]+)+",
+    # --- extended RE2-safe subset of the public logstash base dictionary
+    # (numbers / users / net) ---
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "BASE16FLOAT": r"\b[+-]?(?:0x)?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "IPV6": (
+        r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|"
+        r"(?:[0-9A-Fa-f]{1,4}:){1,7}:|"
+        r"(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}|"
+        r"::(?:[Ff]{4}:)?%{IPV4}|"
+        r"(?:[0-9A-Fa-f]{1,4}:){1,4}:%{IPV4})"
+    ),
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    # --- dates / times ---
+    "YEAR": r"(?:\d\d){1,2}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "MONTH": (
+        r"\b(?:[Jj]an(?:uary|uar)?|[Ff]eb(?:ruary|ruar)?|[Mm]ar(?:ch|z)?|"
+        r"[Aa]pr(?:il)?|[Mm]a[yi]|[Jj]un[ei]?|[Jj]ul[yi]?|[Aa]ug(?:ust)?|"
+        r"[Ss]ep(?:tember)?|[Oo]kt(?:ober)?|[Oo]ct(?:ober)?|"
+        r"[Nn]ov(?:ember)?|[Dd]e[cz](?:ember)?)\b"
+    ),
+    "DAY": (
+        r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|"
+        r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
+    ),
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"%{HOUR}:%{MINUTE}(?::%{SECOND})?",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TZ": r"(?:[PMCE][SD]T|UTC)",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "QS": r"%{QUOTEDSTRING}",
+    # --- URIs ---
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+\-.]+",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    # --- composite log-line formats (nested captures resolve at
+    # compile time, logstash-style) ---
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
 }
+
+
+def load_pattern_file(path: str) -> dict[str, str]:
+    """Parse a logstash-format pattern file: ``NAME<whitespace>regex`` per
+    line, ``#`` comments and blank lines ignored. Mirrors the reference's
+    grok pattern-file loading (``ref: filter/grok/`` [U-recall])."""
+    out: dict[str, str] = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            name, _, rx = line.partition(" ")
+            name, rx = name.strip(), rx.strip()
+            if name and rx:
+                out[name] = rx
+    return out
+
+
+def load_patterns_dir(path: str) -> dict[str, str]:
+    """Merge every pattern file in a directory (sorted order; later files
+    override earlier names, matching logstash's patterns_dir)."""
+    import os
+
+    out: dict[str, str] = {}
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if os.path.isfile(full):
+            out.update(load_pattern_file(full))
+    return out
 
 _TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 

@@ -981,6 +981,95 @@ def q_conv_gap_stats_salted(sf_dir: str):
                           salt_chunk=64, hot=hot)
 
 
+def q_apache_log_parse(sf_dir: str):
+    """F1 with a FILE-LOADED pattern dictionary: an Apache-combined-style
+    line is constructed per event (SQL-mirrorable), a logstash-format
+    pattern file is written and loaded via ``patterns_path``, and the
+    composite %{APACHELOG} (= %{COMMONAPACHELOG}) pattern extracts
+    clientip/verb/request/response/bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="glr_grok_q_")
+    try:
+        pat_file = os.path.join(work, "extra.grok")
+        with open(pat_file, "w") as f:
+            f.write("# custom composite pattern for the apache query\n")
+            f.write("APACHELOG %{COMMONAPACHELOG}\n")
+
+        def make_line(batch: pa.Table) -> pa.Table:
+            eid = as_combined(batch["event_id"])
+            uid = as_combined(batch["user_id"])
+            et = as_combined(batch["event_type"])
+            eid_s = pc.cast(eid, pa.string())
+            uid_mod = pa.array(
+                uid.to_numpy(zero_copy_only=False) % 256, type=pa.int64())
+            ip = pc.binary_join_element_wise(
+                "10.0.", pc.cast(uid_mod, pa.string()), ".1", "")
+            status = pc.if_else(pc.equal(et, "error"), "500", "200")
+            line = pc.binary_join_element_wise(
+                ip, " - frank [10/Oct/2000:13:55:36 -0700] \"GET /page/",
+                eid_s, " HTTP/1.0\" ", status, " ", eid_s, "")
+            return pa.table({"event_id": eid, "line": line})
+
+        ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        ds = ds.map_batches(make_line, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ds = ds.map_batches(
+            GrokParser("%{APACHELOG}", field="line", patterns_path=pat_file,
+                       tags_column="_no_tags"),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return ds.select_columns(
+            ["event_id", "clientip", "verb", "request", "response", "bytes"]
+        ).to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+SQL_APACHE_LOG_PARSE = r"""
+SELECT event_id,
+       '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1' AS clientip,
+       'GET' AS verb,
+       '/page/' || CAST(event_id AS VARCHAR) AS request,
+       CASE WHEN event_type = 'error' THEN '500' ELSE '200' END AS response,
+       CAST(event_id AS VARCHAR) AS bytes
+FROM events
+"""
+
+
+def q_grok_multifield_events(sf_dir: str):
+    """F1 multi-field match (reference grok matches several source
+    fields): even event_ids carry the JSON payload in field ``a`` (k
+    extracted there); odd rows fail on ``a`` and fall through to field
+    ``b``'s fallback payload — field-major break_on_match semantics."""
+    def two_fields(batch: pa.Table) -> pa.Table:
+        eid = as_combined(batch["event_id"])
+        uid_s = pc.cast(as_combined(batch["user_id"]), pa.string())
+        even = pa.array(eid.to_numpy(zero_copy_only=False) % 2 == 0)
+        a = pc.if_else(even, as_combined(batch["props"]), "noise")
+        b = pc.binary_join_element_wise('fallback "k": ', uid_s, "")
+        return pa.table({"event_id": eid, "a": a, "b": b})
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "props"])
+    ds = ds.map_batches(two_fields, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    ds = ds.map_batches(
+        GrokParser('"k": %{INT:k_val:int}', field=["a", "b"],
+                   tags_column="_no_tags"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["event_id", "k_val"])
+
+
+SQL_GROK_MULTIFIELD_EVENTS = r"""
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0
+            THEN CAST(regexp_extract(props, '"k": ([+-]?\d+)', 1) AS BIGINT)
+            ELSE user_id END AS k_val
+FROM events
+"""
+
+
 def q_hll_distinct_events(sf_dir: str):
     """A3 sketch path: HyperLogLog distinct user_id estimate (rows-only:
     the estimate is deterministic but approximate by design; accuracy and
@@ -1038,6 +1127,8 @@ QUERIES = {
     "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
     "hll_distinct_events": q_hll_distinct_events,
+    "apache_log_parse": q_apache_log_parse,
+    "grok_multifield_events": q_grok_multifield_events,
 }
 
 ORACLE_SQL = {
@@ -1078,6 +1169,8 @@ ORACLE_SQL = {
     "inline_source_counts": SQL_INLINE_SOURCE_COUNTS,
     "sorted_turns": SQL_SORTED_TURNS,
     "conv_gap_stats_salted": SQL_CONV_GAP_STATS,  # salting must not change stats
+    "apache_log_parse": SQL_APACHE_LOG_PARSE,
+    "grok_multifield_events": SQL_GROK_MULTIFIELD_EVENTS,
     # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
     # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
     # ann_ivf_approx (approximate by design; recall pytest-asserted),

@@ -63,25 +63,47 @@ def _literal_prefilter(grok_source: str) -> str | None:
 
 
 class GrokParser:
-    """Callable-class stage: compile once per actor, parse per batch."""
+    """Callable-class stage: compile once per actor, parse per batch.
+
+    ``field`` may be a LIST of source columns (the reference grok can
+    match several source fields): every pattern is tried on the first
+    field, then — for still-unmatched rows only — on the next field, and
+    so on (field-major first-match-wins, the break_on_match semantics of
+    the logstash family). ``patterns_path`` / ``patterns_dir`` load extra
+    pattern definitions from logstash-format files (``NAME regex`` lines)
+    before compiling; explicit ``extra_patterns`` override file entries.
+    """
 
     def __init__(
         self,
         patterns: str | list[str],
-        field: str = "text",
+        field: str | list[str] = "text",
         extra_patterns: dict[str, str] | None = None,
+        patterns_path: str | None = None,
+        patterns_dir: str | None = None,
         tag_on_failure: str = "_grokparsefailure",
         tags_column: str = "tags",
         overwrite: bool = True,
         prefilter: bool = False,
     ):
+        from ..functions.grok import load_pattern_file, load_patterns_dir
+
         if isinstance(patterns, str):
             patterns = [patterns]
-        self.field = field
+        self.fields: list[str] = [field] if isinstance(field, str) else list(field)
+        if not self.fields:
+            raise ValueError("GrokParser needs at least one source field")
         self.tag_on_failure = tag_on_failure
         self.tags_column = tags_column
+        merged: dict[str, str] = {}
+        if patterns_dir:
+            merged.update(load_patterns_dir(patterns_dir))
+        if patterns_path:
+            merged.update(load_pattern_file(patterns_path))
+        if extra_patterns:
+            merged.update(extra_patterns)
         self.compiled: list[CompiledGrok] = [
-            compile_grok(p, extra_patterns=extra_patterns) for p in patterns
+            compile_grok(p, extra_patterns=merged or None) for p in patterns
         ]
         # Literal prefilters (opt-in): the longest plain-literal run in
         # each grok SOURCE (text between %{...} tokens, safe chars only)
@@ -105,28 +127,34 @@ class GrokParser:
                     self.capture_names.append(name)
             self.casts.update(cg.casts)
         self.overwrite = overwrite
+        # field-major (field, pattern-idx) attempt order
+        self.units: list[tuple[str, int]] = [
+            (f, pi) for f in self.fields for pi in range(len(self.compiled))
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        col = as_combined(batch[self.field])
 
-        # Per-pattern extraction with first-match-wins masking: pattern
-        # i+1 only scans rows every earlier pattern missed (the regex scan
-        # dominates stage CPU — on match-heavy streams this cuts most of
-        # the second pattern's work). Results scatter back through a
-        # take-index per pattern.
+        # Per-(field, pattern) extraction with first-match-wins masking:
+        # attempt i+1 only scans rows every earlier attempt missed (the
+        # regex scan dominates stage CPU — on match-heavy streams this
+        # cuts most of the later attempts' work). Results scatter back
+        # through a take-index per attempt.
         extracted: list[pa.StructArray] = []
         scatter: list[np.ndarray | None] = []  # row idx each result row maps to
         matched_any = np.zeros(n, dtype=bool)
         matched_by: list[np.ndarray] = []
-        for pi, cg in enumerate(self.compiled):
+        cols = {f: as_combined(batch[f]) for f in self.fields}
+        for ui, (fname, pi) in enumerate(self.units):
+            cg = self.compiled[pi]
+            col = cols[fname]
             cand = ~matched_any
             lit = self.prefilters[pi]
             if lit is not None:
                 hit = pc.match_substring(col, pattern=lit)
                 cand &= pc.fill_null(hit, False).to_numpy(
                     zero_copy_only=False).astype(bool, copy=False)
-            if pi == 0 and cand.all():
+            if ui == 0 and cand.all():
                 subset, idx = col, None
             else:
                 idx = np.nonzero(cand)[0]
@@ -150,8 +178,9 @@ class GrokParser:
         # coalesce captures per name (disjoint by construction)
         for name in self.capture_names:
             pieces: list[pa.Array] = []
-            for cg, res, use, idx in zip(self.compiled, extracted, matched_by,
-                                         scatter):
+            for (fname, pi), res, use, idx in zip(self.units, extracted,
+                                                  matched_by, scatter):
+                cg = self.compiled[pi]
                 if name not in cg.captures:
                     continue
                 vals = res.field(name)

@@ -115,3 +115,51 @@ def test_prefilter_skips_character_classes():
     out = p(_table(["7 id=AB12x", "nope"]))
     assert out["n"].to_pylist() == ["7", None]
     assert out["tags"].to_pylist() == [[], ["_grokparsefailure"]]
+
+
+def test_pattern_file_loading(tmp_path):
+    from go_logagent_ray.functions.grok import (
+        load_pattern_file, load_patterns_dir)
+
+    f1 = tmp_path / "a.grok"
+    f1.write_text("# comment\nFOO ab+c\n\nBAR %{FOO}-%{INT}\n")
+    f2 = tmp_path / "b.grok"
+    f2.write_text("FOO xyz\n")
+    assert load_pattern_file(str(f1)) == {"FOO": "ab+c", "BAR": "%{FOO}-%{INT}"}
+    # dir merge: later (sorted) files override
+    assert load_patterns_dir(str(tmp_path))["FOO"] == "xyz"
+
+    p = GrokParser(["%{BAR:x}"], patterns_path=str(f1))
+    out = p(_table(["zz abbc-42 zz", "nope"]))
+    assert out["x"].to_pylist() == ["abbc-42", None]
+
+
+def test_apache_combined_pattern():
+    p = GrokParser(["%{COMBINEDAPACHELOG}"])
+    line = ('10.0.8.1 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /page/42 HTTP/1.0" 200 2326 "http://ref.example" "UA/1.0"')
+    out = p(_table([line]))
+    assert out["clientip"].to_pylist() == ["10.0.8.1"]
+    assert out["verb"].to_pylist() == ["GET"]
+    assert out["request"].to_pylist() == ["/page/42"]
+    assert out["response"].to_pylist() == ["200"]
+    assert out["referrer"].to_pylist() == ['"http://ref.example"']
+
+
+def test_multifield_break_on_match():
+    """Field-major first-match-wins across source fields: rows failing on
+    field a fall through to field b; matched rows never re-match."""
+    t = pa.table({
+        "a": pa.array(["k=1", "zzz", None]),
+        "b": pa.array(["k=9", "k=7", "k=5"]),
+    })
+    p = GrokParser(["k=%{INT:k:int}"], field=["a", "b"])
+    out = p(t)
+    assert out["k"].to_pylist() == [1, 7, 5]
+    assert out["tags"].to_pylist() == [[], [], []]
+
+    # no field matches -> failure tag
+    t2 = pa.table({"a": pa.array(["x"]), "b": pa.array(["y"])})
+    out2 = GrokParser(["k=%{INT:k:int}"], field=["a", "b"])(t2)
+    assert out2["k"].to_pylist() == [None]
+    assert out2["tags"].to_pylist() == [["_grokparsefailure"]]
