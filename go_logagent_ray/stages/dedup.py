@@ -235,17 +235,21 @@ def minhash_lsh_pairs(
     group to ~corpus/(bands·shards) without ever splitting a bucket
     (``bkey`` is constant within a bucket). Size ``pair_shards`` to the
     cluster; results are identical for any value ≥ 1.
+
+    ONE shuffle total: cross-band duplicate pairs are suppressed inside
+    the mining task — a pair is emitted only by the FIRST band whose
+    bucket keys collide (recomputed from the signatures already in the
+    group), so no second dedup pass over the pair set is needed.
     """
     rows_per_band = num_perm // bands
     assert bands * rows_per_band == num_perm
     shards = np.uint64(max(1, pair_shards))
 
-    sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(
-            num_perm=num_perm, ngram=ngram, text_field=text_field,
-            id_field=id_field),
-        batch_format="pyarrow", concurrency=2,
-    )
+    hasher = MinHasher(num_perm=num_perm, ngram=ngram, text_field=text_field,
+                       id_field=id_field)
+    # stateless tasks, not an actor pool: the hasher state is a few KB
+    # built in microseconds — pool startup (~seconds) dwarfs it
+    sigs = ds.map_batches(hasher, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -274,7 +278,10 @@ def minhash_lsh_pairs(
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
         """One group per (band, shard) — bounded size at scale; buckets
         are processed with a C-speed pandas groupby inside (per-bucket
-        map_groups would spin up tens of thousands of tiny frames)."""
+        map_groups would spin up tens of thousands of tiny frames).
+        First-colliding-band ownership makes the global pair set
+        duplicate-free without a second shuffle."""
+        band = int(group["band"].iloc[0])
         out_a, out_b, out_s = [], [], []
         for _, bucket in group.groupby("bkey", sort=False):
             if len(bucket) < 2:
@@ -282,23 +289,27 @@ def minhash_lsh_pairs(
             g = bucket.sort_values(id_field)
             ids = g[id_field].to_numpy()
             sig = np.stack(g["sig"].to_numpy())
+            if band > 0:
+                # recompute every EARLIER band's bucket key from the sigs
+                view = sig.reshape(len(ids), bands, rows_per_band)[:, :band, :] \
+                    .astype(np.uint64)
+                keys = np.zeros(view.shape[:2], dtype=np.uint64)
+                for t in range(rows_per_band):
+                    keys = keys * _FNV + view[:, :, t]
             for i in range(len(ids)):
                 eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-                for j in np.nonzero(eq >= threshold)[0]:
+                hit = eq >= threshold
+                if band > 0 and hit.any():
+                    owned_earlier = (keys[i + 1 :] == keys[i]).any(axis=1)
+                    hit &= ~owned_earlier
+                for j in np.nonzero(hit)[0]:
                     out_a.append(ids[i])
                     out_b.append(ids[i + 1 + j])
                     out_s.append(float(eq[j]))
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "sim_est": out_s})
 
-    pairs = exploded.groupby(["band", "shard"]).map_groups(
+    return exploded.groupby(["band", "shard"]).map_groups(
         band_pairs, batch_format="pandas")
-
-    # same pair can surface from multiple bands — keep one (pair set is
-    # small relative to the corpus; dedup on the compact pair keys only)
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["doc_a", "doc_b"])
-
-    return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash
@@ -354,13 +365,13 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
     """Near-dup pairs with simhash: 4×16-bit bands (any exact band match →
     candidate; Hamming ≤ max_hamming verifies). Returns (doc_a, doc_b,
     hamming). Pair-mining groups are ``(band, bkey % pair_shards)`` so no
-    task holds corpus/4 signatures (see minhash_lsh_pairs)."""
+    task holds corpus/4 signatures, and a pair is emitted only by the
+    FIRST band whose 16-bit keys collide — one shuffle, no dedup pass
+    (see minhash_lsh_pairs)."""
     shards = np.uint64(max(1, pair_shards))
-    hashed = ds.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(text_field=text_field,
-                                              id_field=id_field),
-        batch_format="pyarrow", concurrency=2,
-    )
+    hashed = ds.map_batches(SimHasher(text_field=text_field,
+                                      id_field=id_field),
+                            batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         sh = as_combined(batch["simhash"]).to_numpy(zero_copy_only=False)
@@ -378,6 +389,7 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
         })
 
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        band = int(group["band"].iloc[0])
         a, b, hd = [], [], []
         for _, bucket in group.groupby("bkey", sort=False):
             if len(bucket) < 2:
@@ -386,18 +398,23 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             ids = g[id_field].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.uint64)
             for i in range(len(ids)):
-                ham = _popcount64(sh[i + 1 :] ^ sh[i])
-                for j in np.nonzero(ham <= max_hamming)[0]:
+                x = sh[i + 1 :] ^ sh[i]
+                ham = _popcount64(x)
+                hit = ham <= max_hamming
+                if band > 0 and hit.any():
+                    # first-colliding-band ownership: skip pairs whose
+                    # earlier 16-bit band slice already matched
+                    owned_earlier = np.zeros(len(x), dtype=bool)
+                    for bprev in range(band):
+                        owned_earlier |= ((x >> np.uint64(16 * bprev))
+                                          & np.uint64(0xFFFF)) == 0
+                    hit &= ~owned_earlier
+                for j in np.nonzero(hit)[0]:
                     a.append(ids[i]); b.append(ids[i + 1 + j]); hd.append(int(ham[j]))
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": hd})
 
-    pairs = hashed.map_batches(explode, batch_format="pyarrow") \
+    return hashed.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
-
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["doc_a", "doc_b"])
-
-    return pairs.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
 
 
 # ------------------------------------------------- embedding cosine near-dup
