@@ -1082,6 +1082,90 @@ def q_hll_distinct_events(sf_dir: str):
                                               type=pa.int64())})
 
 
+def q_incremental_counts(sf_dir: str):
+    """Incremental/tail micro-batch mode (EP2 streaming analog): the
+    transcript stream fed in 4 chunks through IncrementalRunner — sinks
+    append per chunk, running counts live in hash-sharded state actors —
+    and the FINAL running counts must equal the one-shot batch aggregate,
+    which is exactly the flagship sink-counts oracle."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from .incremental import IncrementalRunner
+
+    work = tempfile.mkdtemp(prefix="glr_incr_q_")
+    runner = None
+    try:
+        ds = transcripts_from_events(sf_dir)
+        tbl = pa.concat_tables(
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in ray.get(ds.to_arrow_refs()))
+        runner = IncrementalRunner(work)
+        n_chunks = 4
+        step = (tbl.num_rows + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            runner.process_chunk(tbl.slice(i * step, step))
+        counts = runner.running_counts()
+        keys = sorted(counts)
+        return pa.table({
+            "route": pa.array([k[0] for k in keys], type=pa.string()),
+            "role": pa.array([k[1] for k in keys], type=pa.string()),
+            "tool": pa.array([k[2] for k in keys], type=pa.string()),
+            "ts_hour": pa.array([k[3] for k in keys],
+                                type=pa.timestamp("us")),
+            "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+        })
+    finally:
+        if runner is not None:
+            runner.shutdown()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_quality_stats_docs(sf_dir: str):
+    """Text quality scoring — the integer components are oracle-checked
+    (punctuation and word counts); the float score composition is
+    pytest-asserted (floats stay out of hash-compared columns)."""
+    from ..functions.textstats import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(quality_stats, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "n_punct"])
+
+
+SQL_QUALITY_STATS_DOCS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+
+def q_media_features_docs(sf_dir: str):
+    """Multimodal plumbing surface: documents' text bytes stand in for
+    binary media payloads (deterministic), pushed through the actor-pool
+    ImageFeatureStage with the FAKE decode (the codec stub — no image
+    libs in this container; rows-only check). Verifies the binary-column
+    schema, small-batch actor plumbing, and feature output layout."""
+    from ..stages.multimodal import ImageFeatureStage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": as_combined(batch["doc_id"]),
+            "mime": pa.array(["text/plain"] * batch.num_rows),
+            "payload": pc.cast(as_combined(batch["text"]), pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    feats = media.map_batches(
+        ImageFeatureStage, fn_constructor_kwargs=dict(decode="fake"),
+        batch_format="pyarrow", batch_size=128, concurrency=2)
+    return feats.select_columns(["media_id", "mime"]).to_pandas()
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -1129,6 +1213,9 @@ QUERIES = {
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
     "grok_multifield_events": q_grok_multifield_events,
+    "incremental_counts": q_incremental_counts,
+    "quality_stats_docs": q_quality_stats_docs,
+    "media_features_docs": q_media_features_docs,
 }
 
 ORACLE_SQL = {
@@ -1171,6 +1258,8 @@ ORACLE_SQL = {
     "conv_gap_stats_salted": SQL_CONV_GAP_STATS,  # salting must not change stats
     "apache_log_parse": SQL_APACHE_LOG_PARSE,
     "grok_multifield_events": SQL_GROK_MULTIFIELD_EVENTS,
+    "incremental_counts": SQL_FLAGSHIP_SINK_COUNTS,  # streaming == batch
+    "quality_stats_docs": SQL_QUALITY_STATS_DOCS,
     # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
     # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
     # ann_ivf_approx (approximate by design; recall pytest-asserted),
