@@ -1142,6 +1142,32 @@ FROM documents
 """
 
 
+def q_split_sample_docs(sf_dir: str):
+    """Deterministic train/val/test split + reproducible sample (corpus-
+    curation ops): modulo keying so the SQL oracle mirrors bucket
+    assignment exactly; the hash-keyed variant (string keys, decorrelated
+    buckets) is pytest-verified for determinism."""
+    from ..stages.sample import sample_fraction, split_assign
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    split = split_assign(ds, "doc_id", {"train": 80, "val": 10, "test": 10},
+                         method="modulo")
+    split_counts = counts_by(split, ["split"], alias="n").to_pandas()
+    sampled = sample_fraction(_read(sf_dir, "documents", ["doc_id"]),
+                              "doc_id", percent=25, method="modulo")
+    split_counts["n_sampled_25pct"] = int(sampled.count())
+    return split_counts
+
+
+SQL_SPLIT_SAMPLE_DOCS = """
+SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+            WHEN doc_id % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 100 < 25) AS n_sampled_25pct
+FROM documents GROUP BY 1
+"""
+
+
 def q_media_features_docs(sf_dir: str):
     """Multimodal plumbing surface: documents' text bytes stand in for
     binary media payloads (deterministic), pushed through the actor-pool
@@ -1216,6 +1242,7 @@ QUERIES = {
     "incremental_counts": q_incremental_counts,
     "quality_stats_docs": q_quality_stats_docs,
     "media_features_docs": q_media_features_docs,
+    "split_sample_docs": q_split_sample_docs,
 }
 
 ORACLE_SQL = {
@@ -1260,6 +1287,7 @@ ORACLE_SQL = {
     "grok_multifield_events": SQL_GROK_MULTIFIELD_EVENTS,
     "incremental_counts": SQL_FLAGSHIP_SINK_COUNTS,  # streaming == batch
     "quality_stats_docs": SQL_QUALITY_STATS_DOCS,
+    "split_sample_docs": SQL_SPLIT_SAMPLE_DOCS,
     # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
     # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
     # ann_ivf_approx (approximate by design; recall pytest-asserted),

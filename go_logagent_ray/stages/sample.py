@@ -1,0 +1,79 @@
+"""Deterministic sampling / dataset splits for training-data pipelines.
+
+Not in the reference (a log agent never samples); first-class for corpus
+curation: train/val/test splits and downsampling must be DETERMINISTIC
+(same row → same split on every run, every worker, any partitioning) and
+streaming (a pure per-row predicate inside ``map_batches`` — no shuffle,
+no materialization, no RNG state).
+
+Two keying methods:
+
+- ``method="modulo"``: bucket = key % 100 on an integer id column —
+  trivially SQL-mirrorable (used by the oracle-checked query), but
+  correlated with id assignment order.
+- ``method="hash"``: bucket = stable_hash64(key) % 100 — decorrelated
+  from id order and usable on string keys (conv_id); environment-stable
+  (polars hash), pytest-verified for determinism across runs.
+
+``split_assign`` adds a ``split`` column from named percentage buckets;
+``sample_fraction`` keeps ~fraction of rows by the same bucketing, so a
+sample is REPRODUCIBLE and a row's membership never depends on which
+batch or worker saw it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.arrow_utils import as_combined, set_column
+
+
+def _buckets(keys: pa.Array, method: str) -> np.ndarray:
+    if method == "modulo":
+        k = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+        return (k % 100).astype(np.int64)
+    if method == "hash":
+        import polars as pl
+
+        from ..functions.hashing import stable_hash64
+
+        h = stable_hash64(pl.Series(pl.from_arrow(keys)).cast(pl.Utf8))
+        return (h % np.uint64(100)).astype(np.int64)
+    raise ValueError(f"unknown sampling method {method!r}")
+
+
+def split_assign(ds: Dataset, key: str,
+                 splits: dict[str, int] | None = None,
+                 method: str = "hash", out: str = "split") -> Dataset:
+    """Adds ``split:string`` from percentage buckets, e.g.
+    ``{"train": 80, "val": 10, "test": 10}`` (must sum to 100).
+    Deterministic per key; no shuffle."""
+    splits = splits or {"train": 80, "val": 10, "test": 10}
+    if sum(splits.values()) != 100:
+        raise ValueError("split percentages must sum to 100")
+    names: list[str] = []
+    for name, pct in splits.items():
+        names.extend([name] * pct)
+    lut = np.array(names, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = _buckets(as_combined(batch[key]), method)
+        return set_column(batch, out, pa.array(lut[b], type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_fraction(ds: Dataset, key: str, percent: int,
+                    method: str = "hash") -> Dataset:
+    """Keep rows whose bucket < percent — a reproducible ~percent% sample
+    (exact for modulo keying on dense ids)."""
+    if not 0 <= percent <= 100:
+        raise ValueError("percent must be in [0, 100]")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = _buckets(as_combined(batch[key]), method)
+        return batch.filter(pa.array(b < percent))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

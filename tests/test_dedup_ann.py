@@ -300,3 +300,38 @@ def test_lsh_probe_all_is_exact(embeddings_ds):
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
     for q in (0, 1, 2):
         assert [v for _, v in sorted(by_q[q])] == _exact_topk(mat, q, 5), q
+
+
+def test_split_assign_deterministic_and_total(docs_with_dups):
+    """Hash-keyed split: deterministic across runs, total cover, rows
+    keep their split regardless of batch/partition layout."""
+    from go_logagent_ray.stages.sample import sample_fraction, split_assign
+
+    ds, texts = docs_with_dups
+    a = {r["doc_id"]: r["split"]
+         for r in split_assign(ds, "doc_id").take_all()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(ds.repartition(7), "doc_id").take_all()}
+    assert a == b and len(a) == len(texts)
+    assert set(a.values()) <= {"train", "val", "test"}
+
+    s1 = sorted(r["doc_id"] for r in
+                sample_fraction(ds, "doc_id", 30).take_all())
+    s2 = sorted(r["doc_id"] for r in
+                sample_fraction(ds.repartition(5), "doc_id", 30).take_all())
+    assert s1 == s2
+    # sampled set is a subset and roughly the right size
+    assert 0 < len(s1) < len(texts)
+
+
+def test_split_assign_validates():
+    import pytest as _pytest
+
+    from go_logagent_ray.stages.sample import sample_fraction, split_assign
+
+    import ray.data as rd
+    ds = rd.from_items([{"doc_id": 1}])
+    with _pytest.raises(ValueError):
+        split_assign(ds, "doc_id", {"train": 50, "val": 10})
+    with _pytest.raises(ValueError):
+        sample_fraction(ds, "doc_id", 101)
