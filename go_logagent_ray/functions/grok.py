@@ -122,10 +122,11 @@ def load_pattern_file(path: str) -> dict[str, str]:
             line = raw.strip()
             if not line or line.startswith("#"):
                 continue
-            name, _, rx = line.partition(" ")
-            name, rx = name.strip(), rx.strip()
-            if name and rx:
-                out[name] = rx
+            # split on the FIRST whitespace run (tabs included — logstash
+            # files in the wild are often tab-separated)
+            parts = line.split(None, 1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1].strip()
     return out
 
 

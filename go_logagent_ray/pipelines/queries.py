@@ -476,16 +476,20 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 
 
 def q_ngram_jaccard_docs(sf_dir: str):
-    """GLOBAL exact word-trigram Jaccard near-dup pairs via MinHash-LSH
+    """GLOBAL word-trigram Jaccard near-dup pairs via MinHash-LSH
     candidates + exact verification (``ngram_jaccard_pairs_lsh``) —
     ORACLE-CHECKED against the all-pairs exact Jaccard SQL with integer-
-    math thresholding. The grouped all-pairs variant
+    math thresholding. bands=32 (r=2) keys the banding to the 0.4
+    threshold: per-pair recall ≥ 0.996 at j=0.4 and ≥ 1-1e-23 at the
+    corpus's actual near-dup level (j ≥ 0.9, next pair at j ≤ 0.07), so
+    the candidate stage misses nothing here; verification makes false
+    positives impossible. The grouped all-pairs variant
     (``ngram_jaccard_pairs``) remains the small-co-group path."""
     from ..stages.dedup import ngram_jaccard_pairs_lsh
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ngram_jaccard_pairs_lsh(ds, f"{sf_dir}/documents.parquet",
-                                   threshold_permille=400)
+                                   threshold_permille=400, bands=32)
 
 
 SQL_NGRAM_JACCARD_DOCS = _TRIGRAM_CTE + """
@@ -525,8 +529,8 @@ def q_ann_ivf(sf_dir: str):
     (``q_ann_ivf_approx``, pytest recall tests) cover the scale path."""
     from ..stages.ann import ivf_topk, load_queries
 
-    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
-    _, corpus = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=200)
+    ids200, corpus = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=200)
+    qids, qmat = ids200[:5], corpus[:5]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, qids, qmat, k=10, n_lists=8, nprobe=8,
                     train_sample=corpus).select_columns(
@@ -538,8 +542,8 @@ def q_ann_ivf_approx(sf_dir: str):
     rows-only check — recall floor asserted in pytest)."""
     from ..stages.ann import ivf_topk, load_queries
 
-    qids, qmat = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=5)
-    _, corpus = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=200)
+    ids200, corpus = load_queries(f"{sf_dir}/embeddings.parquet", n_queries=200)
+    qids, qmat = ids200[:5], corpus[:5]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, qids, qmat, k=10, n_lists=8, nprobe=3,
                     train_sample=corpus).select_columns(
@@ -1003,8 +1007,10 @@ def q_apache_log_parse(sf_dir: str):
             uid = as_combined(batch["user_id"])
             et = as_combined(batch["event_type"])
             eid_s = pc.cast(eid, pa.string())
+            # C-style remainder to mirror SQL's % on any sign
             uid_mod = pa.array(
-                uid.to_numpy(zero_copy_only=False) % 256, type=pa.int64())
+                np.fmod(uid.to_numpy(zero_copy_only=False), 256)
+                .astype(np.int64))
             ip = pc.binary_join_element_wise(
                 "10.0.", pc.cast(uid_mod, pa.string()), ".1", "")
             status = pc.if_else(pc.equal(et, "error"), "500", "200")

@@ -81,8 +81,12 @@ class _BatchTopK:
             self_mask = ids[:, None] == self.qids[None, :]
             sims = np.where(self_mask, -np.inf, sims)
         k = min(self.k, sims.shape[0])
-        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]  # (k, Q)
-        qn = sims.shape[1]
+        # per-query (sim DESC, vec_id ASC) — the vec_id tie-break matters:
+        # equal-sim candidates at the k boundary would otherwise be kept
+        # or dropped by unstable partition order, breaking exactness vs
+        # the SQL oracle's deterministic rank
+        top = np.stack([np.lexsort((ids, -sims[:, q]))[:k]
+                        for q in range(sims.shape[1])], axis=1)  # (k, Q)
         out_q = np.repeat(self.qids[None, :], k, axis=0).reshape(-1)
         out_v = ids[top].reshape(-1)
         out_s = np.take_along_axis(sims, top, axis=0).reshape(-1)
@@ -148,10 +152,22 @@ def cosine_topk(
 
 def load_queries(path: str, n_queries: int, id_field: str = "vec_id",
                  vec_field: str = "embedding"):
-    """First n rows of an embeddings parquet as the broadcast query set."""
+    """First n rows of an embeddings parquet as the broadcast query set.
+
+    Streams record batches and stops after n rows — never materializes
+    the whole table on the driver."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path).slice(0, n_queries)
+    pf = pq.ParquetFile(path)
+    batches = []
+    got = 0
+    for b in pf.iter_batches(batch_size=max(n_queries, 1024),
+                             columns=[id_field, vec_field]):
+        batches.append(b)
+        got += b.num_rows
+        if got >= n_queries:
+            break
+    t = pa.Table.from_batches(batches).slice(0, n_queries)
     ids = t[id_field].to_numpy()
     mat = _fixed_matrix(t[vec_field])
     return ids, mat
@@ -254,7 +270,8 @@ def ivf_topk(
         for ci, qi in enumerate(q_idx):
             s = sims[:, ci]
             idx = np.nonzero(ids != qids[qi])[0]
-            top = idx[np.argsort(-s[idx])[:k]]
+            # (sim DESC, vec_id ASC) with explicit tie-break (see _BatchTopK)
+            top = idx[np.lexsort((ids[idx], -s[idx]))[:k]]
             rows_q.extend([qids[qi]] * len(top))
             rows_v.extend(ids[top])
             rows_s.extend(s[top].astype(np.float64))
@@ -357,7 +374,8 @@ def lsh_topk(
             s = sims[:, ci]
             mask = ids != qids[qi]
             idx = np.nonzero(mask)[0]
-            top = idx[np.argsort(-s[idx])[:k]]
+            # (sim DESC, vec_id ASC) with explicit tie-break (see _BatchTopK)
+            top = idx[np.lexsort((ids[idx], -s[idx]))[:k]]
             rows_q.extend([qids[qi]] * len(top))
             rows_v.extend(ids[top])
             rows_s.extend(s[top].astype(np.float64))

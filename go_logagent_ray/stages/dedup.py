@@ -82,9 +82,18 @@ def distinct_count(ds: Dataset, text_field: str = "text") -> int:
 _MERSENNE = (1 << 61) - 1
 _FNV = np.uint64(1099511628211)
 
+# Tokenization uses RE2's ASCII whitespace set ([ \t\n\f\r]) on EVERY
+# side — Python, polars, and the DuckDB '\s+' oracle — so the token
+# boundaries are bit-identical across engines. (Python str.split() and
+# polars' unicode \S would additionally split on U+00A0 etc., silently
+# diverging from the SQL oracle on non-ASCII whitespace.)
+import re as _re
+
+_ASCII_WS = _re.compile(r"[ \t\n\f\r]+")
+
 
 def _ngram_strings(text: str, n: int) -> list[str]:
-    toks = text.lower().split()
+    toks = [t for t in _ASCII_WS.split(text.lower()) if t]
     if not toks:
         return []
     if len(toks) < n:
@@ -95,14 +104,15 @@ def _ngram_strings(text: str, n: int) -> list[str]:
 def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized lowercase + whitespace tokenize + stable 64-bit hash.
 
-    polars ``str.extract_all(r"\\S+")`` matches Python ``str.split()``
-    token-for-token; hashing runs over the EXPLODED token series in one
-    vectorized pass. Returns (flat token hashes, row offsets len n+1).
+    polars ``str.extract_all(r"[^ \\t\\n\\f\\r]+")`` matches
+    ``_ngram_strings``'s tokenizer token-for-token (RE2 ASCII whitespace
+    set); hashing runs over the EXPLODED token series in one vectorized
+    pass. Returns (flat token hashes, row offsets len n+1).
     """
     import polars as pl
 
     s = pl.Series(pl.from_arrow(texts)).cast(pl.Utf8).fill_null("")
-    toks = s.str.to_lowercase().str.extract_all(r"\S+")
+    toks = s.str.to_lowercase().str.extract_all(r"[^ \t\n\f\r]+")
     lens = toks.list.len().to_numpy().astype(np.int64)
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -143,13 +153,16 @@ def _shingle_hashes(h: np.ndarray, offsets: np.ndarray,
         src = np.nonzero(valid)[0]
         dst = goffsets[row_of[src]] + (src - offsets[row_of[src]])
         grams[dst] = win[src]
-    # short rows (rare): one polynomial over all t < n tokens
-    for r in np.nonzero((lens > 0) & (lens < n))[0]:
-        row = h[offsets[r] : offsets[r + 1]]
-        v = row[0]
-        for k in range(1, len(row)):
-            v = v * _FNV + row[k]
-        grams[goffsets[r]] = v
+    # short rows (rare): one polynomial over all t < n tokens — uint64
+    # wraparound is intended, but numpy warns on SCALAR overflow (not on
+    # arrays), so silence it here
+    with np.errstate(over="ignore"):
+        for r in np.nonzero((lens > 0) & (lens < n))[0]:
+            row = h[offsets[r] : offsets[r + 1]]
+            v = row[0]
+            for k in range(1, len(row)):
+                v = v * _FNV + row[k]
+            grams[goffsets[r]] = v
     return grams, goffsets
 
 
@@ -533,9 +546,17 @@ def ngram_jaccard_pairs_lsh(
     math (``inter·1000 ≥ threshold_permille·union``) so it is bit-exact
     against a SQL oracle. Returns (doc_a, doc_b, n_inter, n_union).
 
-    Recall note: a true pair is missed only if LSH banding misses it —
-    P(miss) = (1-j^r)^b, negligible for j ≥ 0.8 at 16×4 banding; the
-    verification step makes false positives impossible.
+    Recall contract (NOT exact): a true pair is missed iff LSH banding
+    misses it — P(miss) = (1-j^r)^b with r = num_perm/bands rows per
+    band. The verification step makes false positives impossible, so the
+    output is a SUBSET of the exact pair set with per-pair recall
+    1-(1-j^r)^b. Match ``bands`` to the threshold: at the default 16×4,
+    recall at j=0.8 is ~0.996 but at j=0.4 only ~0.34; for thresholds
+    near 0.4 use bands=32 (r=2): recall ≥ 0.996 at j=0.4, ≥ 1-1e-23 at
+    j=0.9. An oracle comparing against the exact pair set is sound only
+    when the corpus has no pairs in the low-recall band around the
+    threshold (measured true for the testdata: pairs sit at j ≥ 0.9 or
+    j ≤ 0.07).
     """
     import pyarrow.dataset as pads
     import ray

@@ -33,7 +33,10 @@ from ..functions.arrow_utils import as_combined, set_column
 def _buckets(keys: pa.Array, method: str) -> np.ndarray:
     if method == "modulo":
         k = keys.to_numpy(zero_copy_only=False).astype(np.int64)
-        return (k % 100).astype(np.int64)
+        # C-style (sign-preserving) remainder, matching SQL's % — numpy's
+        # Python-style % would send a negative id to a DIFFERENT bucket
+        # than the DuckDB oracle (e.g. -1: 99 vs -1)
+        return np.fmod(k, 100).astype(np.int64)
     if method == "hash":
         import polars as pl
 
@@ -49,18 +52,20 @@ def split_assign(ds: Dataset, key: str,
                  method: str = "hash", out: str = "split") -> Dataset:
     """Adds ``split:string`` from percentage buckets, e.g.
     ``{"train": 80, "val": 10, "test": 10}`` (must sum to 100).
-    Deterministic per key; no shuffle."""
+    Deterministic per key; no shuffle. Assignment is by cumulative-bound
+    search (bucket < 80 → train, < 90 → val, …) so a NEGATIVE bucket
+    (C-style remainder of a negative id) lands in the first split —
+    exactly what the SQL CASE chain does."""
     splits = splits or {"train": 80, "val": 10, "test": 10}
     if sum(splits.values()) != 100:
         raise ValueError("split percentages must sum to 100")
-    names: list[str] = []
-    for name, pct in splits.items():
-        names.extend([name] * pct)
-    lut = np.array(names, dtype=object)
+    bounds = np.cumsum([pct for pct in splits.values()])
+    names = np.array(list(splits), dtype=object)
 
     def assign(batch: pa.Table) -> pa.Table:
         b = _buckets(as_combined(batch[key]), method)
-        return set_column(batch, out, pa.array(lut[b], type=pa.string()))
+        idx = np.searchsorted(bounds, b, side="right")
+        return set_column(batch, out, pa.array(names[idx], type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -70,10 +70,16 @@ def _gap_stats_salted(ds: Dataset, key: str, ts: str, order: str,
             salt = np.where(np.isin(keys, list(hot)), salt, 0)
         return set_column(batch, "_salt", pa.array(salt, type=pa.int64()))
 
+    # "no internal gap" sentinel for single-row partials: 0 would CLAMP a
+    # true negative max gap (out-of-order timestamps) and diverge from
+    # the unsalted path, which only falls back to 0 when the whole key
+    # has a single row
+    _NOGAP = np.iinfo(np.int64).min
+
     def partial(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order)
         t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gap = int(np.diff(t).max()) if len(t) > 1 else 0
+        gap = int(np.diff(t).max()) if len(t) > 1 else _NOGAP
         return pd.DataFrame({
             key: [g[key].iloc[0]],
             "_first_order": np.array([g[order].iloc[0]], dtype=np.int64),
@@ -85,13 +91,14 @@ def _gap_stats_salted(ds: Dataset, key: str, ts: str, order: str,
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("_first_order")
-        gap = int(g["max_gap_us"].max())
+        cand = [v for v in g["max_gap_us"].to_numpy() if v != _NOGAP]
         if len(g) > 1:
             cross = g["_first_ts"].to_numpy()[1:] - g["_last_ts"].to_numpy()[:-1]
-            gap = max(gap, int(cross.max()))
+            cand.extend(int(c) for c in cross)
+        gap = max(cand) if cand else 0  # single-row key → 0, like unsalted
         return pd.DataFrame({key: [g[key].iloc[0]],
                              "n_turns": np.array([g["n_turns"].sum()], dtype=np.int64),
-                             "max_gap_us": np.array([gap], dtype=np.int64)})
+                             "max_gap_us": np.array([int(gap)], dtype=np.int64)})
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow",
                             zero_copy_batch=True)

@@ -335,3 +335,69 @@ def test_split_assign_validates():
         split_assign(ds, "doc_id", {"train": 50, "val": 10})
     with _pytest.raises(ValueError):
         sample_fraction(ds, "doc_id", 101)
+
+
+def test_ann_tie_break_with_duplicates(ray_session):
+    """Regression (r2 review): equal-sim candidates at the k boundary
+    must resolve by vec_id ASC, not unstable partition order — duplicated
+    embeddings straddling rank k broke the exact-mode oracles."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.ann import cosine_topk, ivf_topk, lsh_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16).astype(np.float32)
+    mat = np.vstack([np.tile(base, (30, 1)),            # ids 0..29 identical
+                     rng.standard_normal((10, 16))]).astype(np.float32)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1), type=pa.float32()), 16)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(40), type=pa.int64()), "embedding": emb}))
+    q = np.array([0])
+
+    def ranks(out):
+        return [v for _, v in sorted((r["rank"], r["vec_id"]) for r in out)]
+
+    exact = _exact_topk(mat, 0, 10)
+    assert ranks(cosine_topk(ds, q, mat[:1], k=10).take_all()) == exact
+    assert ranks(ivf_topk(ds, q, mat[:1], k=10, n_lists=4, nprobe=4,
+                          train_sample=mat[::4]).take_all()) == exact
+    assert ranks(lsh_topk(ds, q, mat[:1], k=10, dim=16, n_planes=4,
+                          probe_all=True).take_all()) == exact
+
+
+def test_tokenize_ascii_whitespace_parity():
+    """Tokenization uses RE2's ASCII \\s set on every side: U+00A0 must
+    NOT split tokens (the SQL oracle's \\s+ wouldn't either)."""
+    from go_logagent_ray.stages.dedup import _ngram_strings, _tokenize_hashes
+    import pyarrow as _pa
+
+    assert _ngram_strings("a b c", 1) == ["a b", "c"]
+    h, off = _tokenize_hashes(_pa.array(["a b c"]))
+    assert list(np.diff(off)) == [2]
+
+
+def test_sample_negative_ids_match_sql_semantics(ray_session):
+    """Regression (r2 review): C-style remainder + cumulative-bound
+    assignment — a negative id must land where the SQL CASE puts it
+    (bucket -1 < 80 -> train, and INSIDE the <25 sample)."""
+    import duckdb
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sample import sample_fraction, split_assign
+
+    ids = list(range(-5, 200))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+    got = {r["doc_id"]: r["split"]
+           for r in split_assign(ds, "doc_id", method="modulo").take_all()}
+    sampled = {r["doc_id"] for r in
+               sample_fraction(ds, "doc_id", 25, method="modulo").take_all()}
+    con = duckdb.connect()
+    exp = dict(con.execute(
+        "SELECT i, CASE WHEN i % 100 < 80 THEN 'train' "
+        "WHEN i % 100 < 90 THEN 'val' ELSE 'test' END "
+        "FROM (SELECT unnest(?) AS i)", [ids]).fetchall())
+    exp_sample = {i for i in ids
+                  if con.execute("SELECT ? % 100 < 25", [i]).fetchone()[0]}
+    assert got == exp
+    assert sampled == exp_sample

@@ -163,3 +163,12 @@ def test_multifield_break_on_match():
     out2 = GrokParser(["k=%{INT:k:int}"], field=["a", "b"])(t2)
     assert out2["k"].to_pylist() == [None]
     assert out2["tags"].to_pylist() == [["_grokparsefailure"]]
+
+
+def test_pattern_file_tab_separated(tmp_path):
+    """Regression (r2 review): tab-separated pattern files load too."""
+    from go_logagent_ray.functions.grok import load_pattern_file
+
+    f = tmp_path / "tabs.grok"
+    f.write_text("FOO\tab+c\nBAR \t %{FOO}x\n")
+    assert load_pattern_file(str(f)) == {"FOO": "ab+c", "BAR": "%{FOO}x"}

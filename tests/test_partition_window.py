@@ -123,3 +123,28 @@ def conv_gap_stats_import(ds, **kw):
     from go_logagent_ray.stages.window import conv_gap_stats
 
     return conv_gap_stats(ds, **kw)
+
+
+def test_salted_gap_stats_negative_gaps(ray_session):
+    """Regression (r2 review): a singleton chunk must not contribute a
+    phantom 0 gap — keys whose true max gap is NEGATIVE (out-of-order
+    timestamps) must match the unsalted path exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import conv_gap_stats
+
+    n = 65  # chunk=64 -> one 64-row chunk + one singleton chunk
+    ts = pd.date_range("2024-01-01", periods=n, freq="1min").values[::-1]
+    t = pa.table({
+        "conv_id": pa.array(["rev"] * n),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+    })
+    ds = rd.from_arrow(t)
+    base = {r["conv_id"]: (r["n_turns"], r["max_gap_us"])
+            for r in conv_gap_stats(ds).take_all()}
+    salted = {r["conv_id"]: (r["n_turns"], r["max_gap_us"])
+              for r in conv_gap_stats(ds, salt_chunk=64).take_all()}
+    assert base["rev"][1] == -60_000_000
+    assert salted == base
