@@ -268,6 +268,15 @@ def minhash_lsh_pairs(
         n = batch.num_rows
         sig = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(n, num_perm)
         ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False)
+        # drop shingle-less docs (null/empty text): their sentinel
+        # signatures would all collide, pairing every empty doc with
+        # every other — Jaccard over two empty sets is undefined and the
+        # SQL oracle's nu > 0 filter excludes them. (Sentinel check is
+        # exact: real signature values are < 2^61, the sentinel is
+        # 2^64-1.)
+        real = sig[:, 0] != np.iinfo(np.uint64).max
+        if not real.all():
+            sig, ids, n = sig[real], ids[real], int(real.sum())
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         # hash each band slice to one uint64 bucket key
         view = sig.reshape(n, bands, rows_per_band)
@@ -369,6 +378,7 @@ class SimHasher:
         return pa.table({
             self.id_field: as_combined(batch[self.id_field]),
             "simhash": pa.array(sh, type=pa.uint64()),
+            "n_tokens": pa.array(counts, type=pa.int64()),
         })
 
 
@@ -389,6 +399,12 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
     def explode(batch: pa.Table) -> pa.Table:
         sh = as_combined(batch["simhash"]).to_numpy(zero_copy_only=False)
         ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False)
+        # drop token-less docs (null/empty text): their simhash is 0 by
+        # construction and every empty doc would pair with every other
+        nt = as_combined(batch["n_tokens"]).to_numpy(zero_copy_only=False)
+        real = nt > 0
+        if not real.all():
+            sh, ids = sh[real], ids[real]
         n = len(sh)
         bands = np.arange(4, dtype=np.int32)
         keys = np.stack([(sh >> (16 * b)) & 0xFFFF for b in range(4)], axis=1)
@@ -567,10 +583,17 @@ def ngram_jaccard_pairs_lsh(
         id_field=id_field, pair_shards=pair_shards,
     ).select_columns(["doc_a", "doc_b"]).materialize()
 
+    _out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("n_inter", pa.int64()), ("n_union", pa.int64())])
+
     ids: set = set()
     for b in cands.iter_batches(batch_format="pyarrow"):
         ids.update(b["doc_a"].to_pylist())
         ids.update(b["doc_b"].to_pylist())
+    if not ids:
+        # typed empty result as a pa.Table — an empty Dataset loses its
+        # column names through to_pandas() (observed Ray 2.49 behavior)
+        return _out_schema.empty_table()
     if ids:
         t = pads.dataset(docs_path).to_table(
             columns=[id_field, text_field],

@@ -401,3 +401,35 @@ def test_sample_negative_ids_match_sql_semantics(ray_session):
                   if con.execute("SELECT ? % 100 < 25", [i]).fetchone()[0]}
     assert got == exp
     assert sampled == exp_sample
+
+
+def test_empty_and_null_docs_never_pair(ray_session, tmp_path):
+    """Regression: null/empty texts share the sentinel signature (and
+    simhash 0) — they must NOT pair with each other (Jaccard over empty
+    sets is undefined; the SQL oracles exclude them via nu > 0)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from go_logagent_ray.stages.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs_lsh, simhash_pairs)
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                  "text": pa.array([None, "", "  ", "same doc text here",
+                                    "same doc text here"])})
+    ds = rd.from_arrow(t)
+    mh = sorted((r["doc_a"], r["doc_b"]) for r in
+                minhash_lsh_pairs(ds, threshold=0.5).take_all())
+    sh = sorted((r["doc_a"], r["doc_b"]) for r in
+                simhash_pairs(ds).take_all())
+    assert mh == [(4, 5)]
+    assert sh == [(4, 5)]
+
+    # zero-candidate verify keeps a typed schema
+    t2 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                   "text": pa.array(["alpha beta gamma", "one two three"])})
+    path = str(tmp_path / "d.parquet")
+    pq.write_table(t2, path)
+    out = ngram_jaccard_pairs_lsh(rd.from_arrow(t2), path).to_pandas()
+    assert list(out.columns) == ["doc_a", "doc_b", "n_inter", "n_union"]
+    assert len(out) == 0
