@@ -1174,6 +1174,52 @@ FROM documents GROUP BY 1
 """
 
 
+def q_asof_join_events(sf_dir: str):
+    """As-of join (custom operator, stages/asof.py): each click/view
+    event annotated with the most recent PRECEDING error of the same
+    user — one key-partitioned shuffle, sorted merge inside the group,
+    no broadcast. Oracle: DuckDB ASOF JOIN. Times compared as epoch
+    microseconds (exact ints)."""
+    from ..stages.asof import asof_join_backward
+    from ..stages.filters import DropStage
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    left = ev.map_batches(
+        DropStage([("in", "event_type", ["click", "view"])], mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        DropStage([("eq", "event_type", "error")], mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join_backward(left, right, key="user_id", on="ts",
+                                right_values=["event_id"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # int casts: the per-key pandas frames carry the OTHER side's
+        # columns as nulls, which floats int64 columns — restore the
+        # parquet types so the driver's schema compare is exact
+        err_us = pc.cast(as_combined(batch["ts_r"]), pa.int64())
+        return pa.table({
+            "event_id": pc.cast(as_combined(batch["event_id"]), pa.int64()),
+            "err_ts_us": err_us,
+            "err_event_id": pc.cast(as_combined(batch["event_id_r"]),
+                                    pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type IN ('click','view')),
+     r AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error')
+SELECT l.event_id,
+       epoch_us(r.ts) AS err_ts_us,
+       r.event_id AS err_event_id
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_media_features_docs(sf_dir: str):
     """Multimodal plumbing surface: documents' text bytes stand in for
     binary media payloads (deterministic), pushed through the actor-pool
@@ -1249,6 +1295,7 @@ QUERIES = {
     "quality_stats_docs": q_quality_stats_docs,
     "media_features_docs": q_media_features_docs,
     "split_sample_docs": q_split_sample_docs,
+    "asof_join_events": q_asof_join_events,
 }
 
 ORACLE_SQL = {
@@ -1294,6 +1341,7 @@ ORACLE_SQL = {
     "incremental_counts": SQL_FLAGSHIP_SINK_COUNTS,  # streaming == batch
     "quality_stats_docs": SQL_QUALITY_STATS_DOCS,
     "split_sample_docs": SQL_SPLIT_SAMPLE_DOCS,
+    "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
     # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
     # ann_ivf_approx (approximate by design; recall pytest-asserted),

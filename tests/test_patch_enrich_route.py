@@ -183,3 +183,31 @@ def test_append_tag_on_sliced_array(base_lists):
     out = append_tag(sliced, mask, "T", len(base_lists)).to_pylist()
     exp = [(lst or []) + ["T"] for lst in base_lists]
     assert out == exp
+
+
+def test_asof_join_backward(ray_session):
+    """As-of join: each left row gets the latest right row at-or-before
+    its time, per key; no-match left rows drop (inner semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.asof import asof_join_backward
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a", "b", "c"]),
+        "t": pa.array([10, 20, 5, 7, 9], type=pa.int64()),
+        "payload": pa.array(["l1", "l2", "l0", "lb", "lc"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "t": pa.array([8, 15, 99], type=pa.int64()),
+        "state": pa.array(["s8", "s15", "s99"]),
+    }))
+    out = asof_join_backward(left, right, key="k", on="t",
+                             right_values=["state"]).take_all()
+    got = {(r["k"], r["t"]): (r["t_r"], r["state_r"]) for r in out}
+    # a@10 -> right a@8; a@20 -> a@15; a@5 no match (drops);
+    # b@7 before b@99 (drops); c has no right rows (drops)
+    assert got == {("a", 10): (8, "s8"), ("a", 20): (15, "s15")}
