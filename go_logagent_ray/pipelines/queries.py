@@ -1220,6 +1220,51 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join_events(sf_dir: str):
+    """Bucketed range join (custom operator, stages/rangejoin.py):
+    events joined to value-intervals derived from orders on
+    lo ≤ value ≤ hi, returning per-range match counts. Ranges are 0.3
+    wide and the bucket width 0.5, so every range explodes to ≤ 2
+    buckets and no all-pairs comparison happens."""
+    from ..stages.rangejoin import range_join_buckets
+
+    def make_ranges(batch: pa.Table) -> pa.Table:
+        ok = as_combined(batch["o_orderkey"]).to_numpy(zero_copy_only=False)
+        lo = np.fmod(ok, 4800).astype(np.float64) / 10.0
+        return pa.table({
+            "range_id": pa.array(ok, type=pa.int64()),
+            "lo": pa.array(lo),
+            "hi": pa.array(lo + 0.3),
+        })
+
+    points = _read(sf_dir, "events", ["event_id", "value"])
+    ranges = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        make_ranges, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = range_join_buckets(points, ranges, value="value", lo="lo",
+                               hi="hi", width=0.5,
+                               point_cols=["event_id"],
+                               range_cols=["range_id"])
+
+    def int_ids(batch: pa.Table) -> pa.Table:
+        # restore int64 after pandas null-padding in the union
+        return pa.table({
+            "range_id": pc.cast(as_combined(batch["range_id"]), pa.int64())})
+
+    return counts_by(pairs.map_batches(int_ids, batch_format="pyarrow"),
+                     ["range_id"], alias="n")
+
+
+SQL_RANGE_JOIN_EVENTS = """
+WITH r AS (SELECT o_orderkey AS range_id,
+                  (o_orderkey % 4800) / 10.0 AS lo,
+                  (o_orderkey % 4800) / 10.0 + 0.3 AS hi
+           FROM orders)
+SELECT r.range_id, COUNT(*) AS n
+FROM events e JOIN r ON e.value >= r.lo AND e.value <= r.hi
+GROUP BY r.range_id
+"""
+
+
 def q_media_features_docs(sf_dir: str):
     """Multimodal plumbing surface: documents' text bytes stand in for
     binary media payloads (deterministic), pushed through the actor-pool
@@ -1296,6 +1341,7 @@ QUERIES = {
     "media_features_docs": q_media_features_docs,
     "split_sample_docs": q_split_sample_docs,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
 }
 
 ORACLE_SQL = {
@@ -1342,6 +1388,7 @@ ORACLE_SQL = {
     "quality_stats_docs": SQL_QUALITY_STATS_DOCS,
     "split_sample_docs": SQL_SPLIT_SAMPLE_DOCS,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "range_join_events": SQL_RANGE_JOIN_EVENTS,
     # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
     # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
     # ann_ivf_approx (approximate by design; recall pytest-asserted),

@@ -211,3 +211,34 @@ def test_asof_join_backward(ray_session):
     # a@10 -> right a@8; a@20 -> a@15; a@5 no match (drops);
     # b@7 before b@99 (drops); c has no right rows (drops)
     assert got == {("a", 10): (8, "s8"), ("a", 20): (15, "s15")}
+
+
+def test_range_join_buckets(ray_session):
+    """Bucketed range join equals the brute-force containment join,
+    including ranges spanning multiple buckets and empty buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.rangejoin import range_join_buckets
+
+    rng = np.random.default_rng(17)
+    v = np.round(rng.uniform(0, 100, size=400), 3)
+    points = rd.from_arrow(pa.table({
+        "pid": pa.array(range(400), type=pa.int64()),
+        "value": pa.array(v),
+    }))
+    lo = np.round(rng.uniform(0, 100, size=120), 3)
+    width_each = rng.uniform(0.1, 7.0, size=120)  # some span many buckets
+    hi = np.round(lo + width_each, 3)
+    ranges = rd.from_arrow(pa.table({
+        "range_id": pa.array(range(120), type=pa.int64()),
+        "lo": pa.array(lo), "hi": pa.array(hi),
+    }))
+    out = range_join_buckets(points, ranges, value="value", lo="lo",
+                             hi="hi", width=2.0, point_cols=["pid"],
+                             range_cols=["range_id"]).take_all()
+    got = sorted((int(r["pid"]), int(r["range_id"])) for r in out)
+    exp = sorted((p, ri) for p in range(400) for ri in range(120)
+                 if lo[ri] <= v[p] <= hi[ri])
+    assert got == exp
