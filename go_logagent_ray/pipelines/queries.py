@@ -1220,6 +1220,44 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_sliding_window_counts(sf_dir: str):
+    """W family, hopping windows: 2h-long windows starting every hour —
+    each event explodes to its 2 covering windows vectorized, then the
+    pre-aggregated count shuffle. Oracle: union of the two shifted
+    hour-truncs."""
+    from ..stages.window import sliding_window_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return sliding_window_counts(ds, "event_type", "ts",
+                                 length_us=2 * 3600 * 1_000_000,
+                                 hop_us=3600 * 1_000_000)
+
+
+SQL_SLIDING_WINDOW_COUNTS = """
+SELECT event_type, window_start, COUNT(*) AS n FROM (
+  SELECT event_type, date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT event_type, date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+GROUP BY 1, 2
+"""
+
+
+def q_dedup_broadcast_docs(sf_dir: str):
+    """Exact dedup, broadcast-keepers variant: keeper ids from compact
+    (hash, id) partials broadcast once; full rows never shuffle — the
+    bounded-distinct-count regime's fast path. Same oracle as the
+    shuffle variant."""
+    from ..stages.dedup import exact_dedup_broadcast
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_broadcast(ds).select_columns(["doc_id"])
+
+
+SQL_DEDUP_BROADCAST_DOCS = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text
+"""
+
+
 def q_range_join_events(sf_dir: str):
     """Bucketed range join (custom operator, stages/rangejoin.py):
     events joined to value-intervals derived from orders on
@@ -1342,6 +1380,8 @@ QUERIES = {
     "split_sample_docs": q_split_sample_docs,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "sliding_window_counts": q_sliding_window_counts,
+    "dedup_broadcast_docs": q_dedup_broadcast_docs,
 }
 
 ORACLE_SQL = {
@@ -1389,6 +1429,8 @@ ORACLE_SQL = {
     "split_sample_docs": SQL_SPLIT_SAMPLE_DOCS,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
+    "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
+    "dedup_broadcast_docs": SQL_DEDUP_BROADCAST_DOCS,
     # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
     # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
     # ann_ivf_approx (approximate by design; recall pytest-asserted),

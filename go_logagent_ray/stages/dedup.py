@@ -67,6 +67,34 @@ def exact_dedup(ds: Dataset, text_field: str = "text",
     )
 
 
+def exact_dedup_broadcast(ds: Dataset, text_field: str = "text",
+                          id_field: str = "doc_id") -> Dataset:
+    """Keep one full row (min id) per distinct text WITHOUT shuffling
+    full rows: keeper ids are computed from compact (hash, id) partials
+    (``exact_keepers``), broadcast once via ``ray.put``, and rows filter
+    by a vectorized sorted-membership test inside ``map_batches``.
+
+    Regime: the keeper-id array (8 bytes × distinct-content count) must
+    fit in the object store — fine to ~100M distinct docs; beyond that
+    use ``exact_dedup`` (hash-partitioned full-row shuffle)."""
+    import ray
+
+    keep_ids = np.sort(np.array(
+        [r[id_field] for r in exact_keepers(ds, text_field, id_field)
+         .take_all()], dtype=np.int64))
+    ref = ray.put(keep_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keepers = ray.get(ref)
+        if len(keepers) == 0:
+            return batch.slice(0, 0)
+        ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keepers, ids).clip(max=len(keepers) - 1)
+        return batch.filter(pa.array(keepers[pos] == ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def distinct_count(ds: Dataset, text_field: str = "text") -> int:
     """COUNT(DISTINCT text) via hash partials — no full-text shuffle."""
     def partial(batch: pa.Table) -> pa.Table:

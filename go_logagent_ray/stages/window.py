@@ -126,6 +126,43 @@ def tumbling_window_counts(ds: Dataset, key: str, ts: str,
     return counts_by(with_w, [key, "window_start"], alias="n")
 
 
+def sliding_window_counts(ds: Dataset, key: str, ts: str,
+                          length_us: int, hop_us: int,
+                          alias: str = "n") -> Dataset:
+    """Hopping/sliding event-time windows: counts per (key, window_start)
+    where windows start every ``hop_us`` and span ``length_us``
+    (``length_us`` must be a multiple of ``hop_us``). Each row explodes
+    to its length/hop covering windows inside ``map_batches`` (no
+    per-group Python, order-free), then the usual pre-aggregated count
+    shuffle. length == hop degenerates to tumbling windows."""
+    import pyarrow as pa
+
+    from ..functions.arrow_utils import as_combined
+    from .aggregate import counts_by
+
+    if length_us % hop_us != 0 or length_us <= 0 or hop_us <= 0:
+        raise ValueError("length_us must be a positive multiple of hop_us")
+    n_win = length_us // hop_us
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = as_combined(batch[ts]).cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = (t // hop_us) * hop_us  # latest window containing the row
+        starts = (base[:, None]
+                  - np.arange(n_win, dtype=np.int64)[None, :] * hop_us)
+        keys = as_combined(batch[key])
+        idx = pa.array(np.repeat(np.arange(len(t)), n_win))
+        return pa.table({
+            key: keys.take(idx),
+            "window_start": pa.array(starts.reshape(-1),
+                                     type=pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return counts_by(exploded, [key, "window_start"], alias=alias)
+
+
 def session_windows(ds: Dataset, key: str = "conv_id", ts: str = "ts",
                     order: str = "turn_idx",
                     gap_us: int = 600_000_000) -> Dataset:

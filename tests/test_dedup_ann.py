@@ -433,3 +433,12 @@ def test_empty_and_null_docs_never_pair(ray_session, tmp_path):
     out = ngram_jaccard_pairs_lsh(rd.from_arrow(t2), path).to_pandas()
     assert list(out.columns) == ["doc_a", "doc_b", "n_inter", "n_union"]
     assert len(out) == 0
+
+
+def test_exact_dedup_broadcast_matches_shuffle(docs_with_dups):
+    from go_logagent_ray.stages.dedup import exact_dedup, exact_dedup_broadcast
+
+    ds, texts = docs_with_dups
+    a = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    b = sorted(r["doc_id"] for r in exact_dedup_broadcast(ds).take_all())
+    assert a == b and len(b) == 61

@@ -148,3 +148,34 @@ def test_salted_gap_stats_negative_gaps(ray_session):
               for r in conv_gap_stats(ds, salt_chunk=64).take_all()}
     assert base["rev"][1] == -60_000_000
     assert salted == base
+
+
+def test_sliding_window_counts(ray_session):
+    """2h windows hopping hourly: each event lands in exactly 2 windows;
+    length == hop degenerates to tumbling."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import (
+        sliding_window_counts, tumbling_window_counts)
+
+    ts = np.array(["2024-01-01T00:10:00", "2024-01-01T00:50:00",
+                   "2024-01-01T01:10:00", "2024-01-01T03:05:00"],
+                  dtype="datetime64[us]")
+    t = pa.table({"k": pa.array(["a"] * 4), "ts": pa.array(ts)})
+    ds = rd.from_arrow(t)
+    H = 3600 * 1_000_000
+    out = {(r["k"], str(r["window_start"])): r["n"]
+           for r in sliding_window_counts(ds, "k", "ts", 2 * H, H).take_all()}
+    # row@00:10 -> windows 00:00 and 23:00(prev day); etc.
+    assert out[("a", "2024-01-01 00:00:00")] == 3   # 00:10, 00:50, 01:10
+    assert out[("a", "2023-12-31 23:00:00")] == 2   # 00:10, 00:50
+    assert out[("a", "2024-01-01 01:00:00")] == 1   # 01:10
+    assert out[("a", "2024-01-01 03:00:00")] == 1
+    assert out[("a", "2024-01-01 02:00:00")] == 1   # 03:05 covers 02:00 win
+    assert sum(out.values()) == 8  # every event in exactly length/hop windows
+
+    tumb = {str(r["window_start"]): r["n"]
+            for r in sliding_window_counts(ds, "k", "ts", H, H).take_all()}
+    base = {str(r["window_start"]): r["n"]
+            for r in tumbling_window_counts(ds, "k", "ts").take_all()}
+    assert tumb == base
