@@ -1177,9 +1177,11 @@ FROM documents GROUP BY 1
 def q_asof_join_events(sf_dir: str):
     """As-of join (custom operator, stages/asof.py): each click/view
     event annotated with the most recent PRECEDING error of the same
-    user — one key-partitioned shuffle, sorted merge inside the group,
-    no broadcast. Oracle: DuckDB ASOF JOIN. Times compared as epoch
-    microseconds (exact ints)."""
+    user — one key-partitioned shuffle, pure-Arrow sorted merge inside
+    the group, no broadcast. Oracle: DuckDB ASOF JOIN. Only the matched
+    TIME is returned (exact epoch-us ints): on tied right-side times the
+    matched time is identical under any tie choice, while a matched ID
+    would be tie-dependent and flake the oracle."""
     from ..stages.asof import asof_join_backward
     from ..stages.filters import DropStage
 
@@ -1191,18 +1193,17 @@ def q_asof_join_events(sf_dir: str):
         DropStage([("eq", "event_type", "error")], mode="keep"),
         batch_format="pyarrow", zero_copy_batch=True)
     joined = asof_join_backward(left, right, key="user_id", on="ts",
-                                right_values=["event_id"])
+                                right_values=[])
 
     def finish(batch: pa.Table) -> pa.Table:
-        # int casts: the per-key pandas frames carry the OTHER side's
-        # columns as nulls, which floats int64 columns — restore the
-        # parquet types so the driver's schema compare is exact
-        err_us = pc.cast(as_combined(batch["ts_r"]), pa.int64())
+        # unit-proof epoch-us: pin the timestamp unit BEFORE the int
+        # cast so a pandas/arrow nanosecond coercion can never shift the
+        # value by 1000x
+        err_us = pc.cast(pc.cast(as_combined(batch["ts_r"]),
+                                 pa.timestamp("us")), pa.int64())
         return pa.table({
-            "event_id": pc.cast(as_combined(batch["event_id"]), pa.int64()),
+            "event_id": as_combined(batch["event_id"]),
             "err_ts_us": err_us,
-            "err_event_id": pc.cast(as_combined(batch["event_id_r"]),
-                                    pa.int64()),
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
@@ -1211,11 +1212,9 @@ def q_asof_join_events(sf_dir: str):
 SQL_ASOF_JOIN_EVENTS = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type IN ('click','view')),
-     r AS (SELECT event_id, user_id, ts FROM events
-           WHERE event_type = 'error')
+     r AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
 SELECT l.event_id,
-       epoch_us(r.ts) AS err_ts_us,
-       r.event_id AS err_event_id
+       epoch_us(r.ts) AS err_ts_us
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -1282,14 +1281,8 @@ def q_range_join_events(sf_dir: str):
                                hi="hi", width=0.5,
                                point_cols=["event_id"],
                                range_cols=["range_id"])
-
-    def int_ids(batch: pa.Table) -> pa.Table:
-        # restore int64 after pandas null-padding in the union
-        return pa.table({
-            "range_id": pc.cast(as_combined(batch["range_id"]), pa.int64())})
-
-    return counts_by(pairs.map_batches(int_ids, batch_format="pyarrow"),
-                     ["range_id"], alias="n")
+    return counts_by(pairs.select_columns(["range_id"]), ["range_id"],
+                     alias="n")
 
 
 SQL_RANGE_JOIN_EVENTS = """

@@ -8,29 +8,33 @@ change / error / deploy marker of the same conversation or user.
 
 Ray-Data-first composition (SURVEY.md §2 custom-operator rule (a)):
 the right side's join columns are renamed up front, both sides are
-padded to one shared schema and UNIONED, then ``groupby(key).map_groups``
-runs a sorted ``pd.merge_asof`` per key group — the single shuffle
-co-locates each key's rows; no side is broadcast, so both sides may be
-large. PARTITIONING ASSUMPTION (documented, same as the window family):
-all rows of one key fit one group; skewed keys bound the largest task.
-For a SMALL right side, skip this operator and use a broadcast lookup
-(``stages/enrich.py``) instead.
+padded to one shared schema (``functions/cogroup.py``) and UNIONED,
+then ``groupby(key)`` co-locates each key with ONE shuffle and a pure-
+Arrow sorted searchsorted merge runs per group. The group function
+never converts the null-padded union to pandas — sides are split and
+matched with typed Arrow takes, so int64 columns keep exact precision
+(a pandas frame over padding nulls would float them and corrupt ids
+above 2^53). No side is broadcast, so both sides may be large.
+PARTITIONING ASSUMPTION (documented, same as the window family): all
+rows of one key fit one group. For a SMALL right side, skip this
+operator and use a broadcast lookup (``stages/enrich.py``).
 
 Tie semantics: equal right-side times within a key resolve to the last
-row in time-sorted order (pd.merge_asof behavior) — callers needing a
-deterministic pick on ties should make the time key unique; the
-oracle-checked query returns the matched TIME (identical under any tie
-choice).
+equal-time row in the stable sort of shuffle arrival order — i.e. the
+matched TIME is deterministic but WHICH tied right row wins is not.
+Callers needing oracle-exact output on tied times must either make the
+time key unique or return only the matched time (identical under any
+tie choice), as the oracle-checked query does.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
-from ..functions.arrow_utils import as_combined, set_column
+from ..functions.arrow_utils import as_combined
+from ..functions.cogroup import pad_to_schema, split_sides
 
 
 def asof_join_backward(
@@ -51,29 +55,22 @@ def asof_join_backward(
 
     l_schema = left.schema()
     r_schema = right.schema()
-    l_types = dict(zip(l_schema.names, l_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
     left_cols = list(l_schema.names)
-    # shared union schema: left columns + renamed right columns + _side
-    r_added = {on_r: r_types[on]}
-    r_added.update({v + suffix: r_types[v] for v in right_values})
+    union_types = dict(zip(l_schema.names, l_schema.types))
+    union_types[on_r] = r_types[on]
+    union_types.update({v + suffix: r_types[v] for v in right_values})
 
     def pad_left(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        for name, typ in r_added.items():
-            batch = set_column(batch, name, pa.nulls(n, typ))
-        return set_column(batch, "_side",
-                          pa.array(np.zeros(n, dtype=np.int8)))
+        cols = {c: as_combined(batch[c]) for c in batch.column_names}
+        return pad_to_schema(cols, union_types, batch.num_rows, 0)
 
     def pad_right(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        out = {c: pa.nulls(n, l_types[c]) for c in left_cols}
-        out[key] = as_combined(batch[key])
-        out[on_r] = as_combined(batch[on])
+        cols = {key: as_combined(batch[key]),
+                on_r: as_combined(batch[on])}
         for v in right_values:
-            out[v + suffix] = as_combined(batch[v])
-        out["_side"] = pa.array(np.ones(n, dtype=np.int8))
-        return pa.table(out)
+            cols[v + suffix] = as_combined(batch[v])
+        return pad_to_schema(cols, union_types, batch.num_rows, 1)
 
     lt = left.map_batches(pad_left, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -82,17 +79,24 @@ def asof_join_backward(
     ).map_batches(pad_right, batch_format="pyarrow", zero_copy_batch=True)
     both = lt.union(rt)
 
-    out_cols = left_cols + [on_r] + rv_out
+    def per_key(g: pa.Table) -> pa.Table:
+        lg, rg = split_sides(g)
+        lg = lg.select(left_cols)
+        rg = rg.select([on_r] + rv_out)
+        # pure-Arrow backward as-of: sort both sides, searchsorted picks
+        # the LAST right row with time ≤ each left time (pd.merge_asof
+        # semantics), then two typed takes — no pandas, so int64 columns
+        # keep exact precision even when some left rows are unmatched
+        l_on = as_combined(lg[on]).to_numpy(zero_copy_only=False)
+        r_on = as_combined(rg[on_r]).to_numpy(zero_copy_only=False)
+        l_idx = np.argsort(l_on, kind="stable")
+        r_idx = np.argsort(r_on, kind="stable")
+        pos = np.searchsorted(r_on[r_idx], l_on[l_idx], side="right") - 1
+        keep = pos >= 0
+        lt = lg.take(pa.array(l_idx[keep]))
+        rt = rg.take(pa.array(r_idx[pos[keep]]))
+        cols = {c: lt[c] for c in left_cols}
+        cols.update({c: rt[c] for c in [on_r] + rv_out})
+        return pa.table(cols)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0][left_cols + [on_r] + rv_out]
-        rg = g[g["_side"] == 1][[on_r] + rv_out]
-        if lg.empty or rg.empty:
-            return lg.iloc[0:0]
-        lg = lg.drop(columns=[on_r] + rv_out)
-        merged = pd.merge_asof(
-            lg.sort_values(on), rg.sort_values(on_r),
-            left_on=on, right_on=on_r, direction="backward")
-        return merged[merged[on_r].notna()][out_cols]
-
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")

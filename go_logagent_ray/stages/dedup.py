@@ -76,12 +76,16 @@ def exact_dedup_broadcast(ds: Dataset, text_field: str = "text",
 
     Regime: the keeper-id array (8 bytes × distinct-content count) must
     fit in the object store — fine to ~100M distinct docs; beyond that
-    use ``exact_dedup`` (hash-partitioned full-row shuffle)."""
+    use ``exact_dedup`` (hash-partitioned full-row shuffle). The ids are
+    collected as Arrow batches → numpy (never Python row-dicts, whose
+    ~100 bytes/row would OOM the driver long before the array does)."""
     import ray
 
-    keep_ids = np.sort(np.array(
-        [r[id_field] for r in exact_keepers(ds, text_field, id_field)
-         .take_all()], dtype=np.int64))
+    chunks = [as_combined(b[id_field]).to_numpy(zero_copy_only=False)
+              for b in exact_keepers(ds, text_field, id_field)
+              .iter_batches(batch_format="pyarrow")]
+    keep_ids = np.sort(np.concatenate(chunks).astype(np.int64)) if chunks \
+        else np.array([], dtype=np.int64)
     ref = ray.put(keep_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -619,19 +623,20 @@ def ngram_jaccard_pairs_lsh(
         ids.update(b["doc_a"].to_pylist())
         ids.update(b["doc_b"].to_pylist())
     if not ids:
-        # typed empty result as a pa.Table — an empty Dataset loses its
-        # column names through to_pandas() (observed Ray 2.49 behavior)
-        return _out_schema.empty_table()
-    if ids:
-        t = pads.dataset(docs_path).to_table(
-            columns=[id_field, text_field],
-            filter=pc.field(id_field).isin(sorted(ids)))
-        gram_sets = {
-            i: frozenset(_ngram_strings(x or "", ngram))
-            for i, x in zip(t[id_field].to_pylist(), t[text_field].to_pylist())
-        }
-    else:
-        gram_sets = {}
+        # typed empty result (consistent Dataset API; note that Ray 2.49
+        # drops column names when an EMPTY Dataset goes through
+        # to_pandas() — consumers needing pandas should branch on
+        # count() first)
+        import ray.data as rd
+
+        return rd.from_arrow(_out_schema.empty_table())
+    t = pads.dataset(docs_path).to_table(
+        columns=[id_field, text_field],
+        filter=pc.field(id_field).isin(sorted(ids)))
+    gram_sets = {
+        i: frozenset(_ngram_strings(x or "", ngram))
+        for i, x in zip(t[id_field].to_pylist(), t[text_field].to_pylist())
+    }
     ref = ray.put(gram_sets)
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -9,6 +9,11 @@ runs vectorized inside each group. A (point, range) pair can only meet
 in the point's bucket, so the output is duplicate-free by construction —
 no second dedup pass.
 
+The group function stays pure Arrow (``functions/cogroup.py``): sides
+split by the ``_side`` tag BEFORE any conversion, output built with
+typed Arrow takes — int64 ids keep exact precision (a pandas frame over
+the null-padded union would float them and corrupt values above 2^53).
+
 Scale shape: work per group is |points in bucket| × |ranges overlapping
 bucket|; pick ``width`` near the typical range length so ranges explode
 to O(1) buckets and the per-group cross product stays bounded. Skewed
@@ -19,11 +24,11 @@ as the window family). Both sides may be large; neither is broadcast.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
 from ..functions.arrow_utils import as_combined
+from ..functions.cogroup import pad_to_schema, split_sides
 
 
 def range_join_buckets(
@@ -48,23 +53,27 @@ def range_join_buckets(
     r_schema = ranges.schema()
     p_types = dict(zip(p_schema.names, p_schema.types))
     r_types = dict(zip(r_schema.names, r_schema.types))
+    union_types: dict[str, pa.DataType] = {"_bucket": pa.int64(),
+                                           value: pa.float64(),
+                                           lo: pa.float64(),
+                                           hi: pa.float64()}
+    union_types.update({c: p_types[c] for c in point_cols})
+    union_types.update({c: r_types[c] for c in range_cols})
 
     def explode_points(batch: pa.Table) -> pa.Table:
-        v = as_combined(batch[value]).to_numpy(zero_copy_only=False)
-        b = np.floor(v / width).astype(np.int64)
-        out = {"_bucket": pa.array(b), "_side": pa.array(
-            np.zeros(len(b), dtype=np.int8)), value: pa.array(v)}
+        v = as_combined(batch[value]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        cols = {"_bucket": pa.array(np.floor(v / width).astype(np.int64)),
+                value: pa.array(v)}
         for c in point_cols:
-            out[c] = as_combined(batch[c])
-        for c in [lo, hi]:
-            out[c] = pa.nulls(len(b), pa.float64())
-        for c in range_cols:
-            out[c] = pa.nulls(len(b), r_types[c])
-        return pa.table(out)
+            cols[c] = as_combined(batch[c])
+        return pad_to_schema(cols, union_types, batch.num_rows, 0)
 
     def explode_ranges(batch: pa.Table) -> pa.Table:
-        lo_v = as_combined(batch[lo]).to_numpy(zero_copy_only=False)
-        hi_v = as_combined(batch[hi]).to_numpy(zero_copy_only=False)
+        lo_v = as_combined(batch[lo]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        hi_v = as_combined(batch[hi]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
         b0 = np.floor(lo_v / width).astype(np.int64)
         b1 = np.floor(hi_v / width).astype(np.int64)
         reps = (b1 - b0 + 1).clip(min=0)
@@ -72,15 +81,12 @@ def range_join_buckets(
         # bucket id per exploded row: b0[i], b0[i]+1, ..., b1[i]
         offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
         b = b0[idx] + (np.arange(len(idx)) - offs[idx])
-        out = {"_bucket": pa.array(b), "_side": pa.array(
-            np.ones(len(b), dtype=np.int8)),
-            value: pa.nulls(len(b), pa.float64()),
-            lo: pa.array(lo_v[idx]), hi: pa.array(hi_v[idx])}
-        for c in point_cols:
-            out[c] = pa.nulls(len(b), p_types[c])
+        take = pa.array(idx)
+        cols = {"_bucket": pa.array(b),
+                lo: pa.array(lo_v[idx]), hi: pa.array(hi_v[idx])}
         for c in range_cols:
-            out[c] = as_combined(batch[c]).take(pa.array(idx))
-        return pa.table(out)
+            cols[c] = as_combined(batch[c]).take(take)
+        return pad_to_schema(cols, union_types, len(b), 1)
 
     pt = points.select_columns(
         list(dict.fromkeys([value] + point_cols))
@@ -90,23 +96,17 @@ def range_join_buckets(
     ).map_batches(explode_ranges, batch_format="pyarrow", zero_copy_batch=True)
     both = pt.union(rg)
 
-    out_cols = point_cols + range_cols
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pts = g[g["_side"] == 0]
-        rgs = g[g["_side"] == 1]
-        if pts.empty or rgs.empty:
-            return pts.iloc[0:0][out_cols]
-        v = pts[value].to_numpy()
-        lo_v = rgs[lo].to_numpy()
-        hi_v = rgs[hi].to_numpy()
+    def per_bucket(g: pa.Table) -> pa.Table:
+        pts, rgs = split_sides(g)
+        v = as_combined(pts[value]).to_numpy(zero_copy_only=False)
+        lo_v = as_combined(rgs[lo]).to_numpy(zero_copy_only=False)
+        hi_v = as_combined(rgs[hi]).to_numpy(zero_copy_only=False)
         hit_r, hit_p = np.nonzero(
             (lo_v[:, None] <= v[None, :]) & (v[None, :] <= hi_v[:, None]))
-        out = {}
-        for c in point_cols:
-            out[c] = pts[c].to_numpy()[hit_p]
-        for c in range_cols:
-            out[c] = rgs[c].to_numpy()[hit_r]
-        return pd.DataFrame(out, columns=out_cols)
+        tp, tr = pa.array(hit_p), pa.array(hit_r)
+        cols = {c: as_combined(pts[c]).take(tp) for c in point_cols}
+        cols.update({c: as_combined(rgs[c]).take(tr) for c in range_cols})
+        return pa.table(cols)
 
-    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    return both.groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pyarrow")

@@ -425,14 +425,14 @@ def test_empty_and_null_docs_never_pair(ray_session, tmp_path):
     assert mh == [(4, 5)]
     assert sh == [(4, 5)]
 
-    # zero-candidate verify keeps a typed schema
+    # zero-candidate verify keeps a typed schema (Dataset API preserved)
     t2 = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
                    "text": pa.array(["alpha beta gamma", "one two three"])})
     path = str(tmp_path / "d.parquet")
     pq.write_table(t2, path)
-    out = ngram_jaccard_pairs_lsh(rd.from_arrow(t2), path).to_pandas()
-    assert list(out.columns) == ["doc_a", "doc_b", "n_inter", "n_union"]
-    assert len(out) == 0
+    out = ngram_jaccard_pairs_lsh(rd.from_arrow(t2), path)
+    assert out.schema().names == ["doc_a", "doc_b", "n_inter", "n_union"]
+    assert out.count() == 0
 
 
 def test_exact_dedup_broadcast_matches_shuffle(docs_with_dups):

@@ -242,3 +242,44 @@ def test_range_join_buckets(ray_session):
     exp = sorted((p, ri) for p in range(400) for ri in range(120)
                  if lo[ri] <= v[p] <= hi[ri])
     assert got == exp
+
+
+def test_cogrouped_joins_preserve_int64_precision(ray_session):
+    """Regression (r2 review): the null-padded tagged union must never
+    pass through pandas — snowflake-style ids above 2^53 were float64-
+    rounded and distinct ids collapsed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.asof import asof_join_backward
+    from go_logagent_ray.stages.rangejoin import range_join_buckets
+
+    big = 2**60
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a"]),
+        "t": pa.array([10, 20], type=pa.int64()),
+        "lid": pa.array([big + 1, big + 2], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a"]),
+        "t": pa.array([8], type=pa.int64()),
+        "rid": pa.array([big + 8], type=pa.int64()),
+    }))
+    out = asof_join_backward(left, right, key="k", on="t",
+                             right_values=["rid"]).take_all()
+    got = sorted((r["lid"], r["rid_r"]) for r in out)
+    assert got == [(big + 1, big + 8), (big + 2, big + 8)]
+
+    points = rd.from_arrow(pa.table({
+        "pid": pa.array([big + 1, big + 2], type=pa.int64()),
+        "value": pa.array([1.0, 5.0]),
+    }))
+    ranges = rd.from_arrow(pa.table({
+        "range_id": pa.array([big + 6], type=pa.int64()),
+        "lo": pa.array([0.0]), "hi": pa.array([2.0]),
+    }))
+    pairs = range_join_buckets(points, ranges, value="value", lo="lo",
+                               hi="hi", width=1.0, point_cols=["pid"],
+                               range_cols=["range_id"]).take_all()
+    assert [(r["pid"], r["range_id"]) for r in pairs] == [(big + 1, big + 6)]
