@@ -353,11 +353,41 @@ WHERE jaccard(a.text, b.text) >= 0.95
 
 
 def q_langid_docs(sf_dir: str):
-    """Language-ID heuristic vs labeled lang: confusion counts.
-    (Heuristic — no SQL oracle; driver rows-only check.)"""
+    """Language-ID heuristic vs labeled lang: confusion counts,
+    ORACLE-CHECKED — the heuristic is deterministic regex counting plus
+    a first-max argmax, all SQL-expressible; the oracle is generated
+    from the SAME pattern constants (both engines are RE2) so the two
+    sides cannot drift."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     ds = ds.map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
     return counts_by(ds, ["lang", "pred_lang"], alias="n")
+
+
+def _langid_sql() -> str:
+    from ..functions.textstats import _CJK_RE, _LANG_PATTERNS
+
+    langs = list(_LANG_PATTERNS)  # first-seen order == np.argmax tie order
+    cnt = {l: f"len(regexp_extract_all(text, '{_LANG_PATTERNS[l]}'))"
+           for l in langs}
+    cjk = f"len(regexp_extract_all(text, '{_CJK_RE}'))"
+    # first-max argmax over langs order, then the und/zh/null overrides
+    # exactly as functions/textstats.py::lang_id applies them
+    arms = []
+    for i, l in enumerate(langs[:-1]):
+        rest = ", ".join(cnt[m] for m in langs[i + 1:])
+        greatest = f"GREATEST({rest})" if "," in rest else rest
+        arms.append(f"WHEN {cnt[l]} >= {greatest} THEN '{l}'")
+    case = (
+        "CASE WHEN text IS NULL THEN 'und' "
+        f"WHEN {cjk} > 0 THEN 'zh' "
+        f"WHEN GREATEST({', '.join(cnt.values())}) <= 0 THEN 'und' "
+        + " ".join(arms) + f" ELSE '{langs[-1]}' END"
+    )
+    return (f"SELECT lang, {case} AS pred_lang, COUNT(*) AS n "
+            "FROM documents GROUP BY 1, 2")
+
+
+SQL_LANGID_DOCS = _langid_sql()
 
 
 def q_fingerprint_docs(sf_dir: str):
@@ -1404,6 +1434,7 @@ ORACLE_SQL = {
     "hash_join": SQL_HASH_JOIN,
     "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
+    "langid_docs": SQL_LANGID_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
     "ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
     "ann_lsh": SQL_ANN_TOPK,   # probe-all mode is exact (see q_ann_lsh)
@@ -1424,8 +1455,9 @@ ORACLE_SQL = {
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
     "dedup_broadcast_docs": SQL_DEDUP_BROADCAST_DOCS,
-    # rows-only (no SQL-expressible oracle): langid_docs (heuristic),
-    # simhash_pairs_docs (Hamming over simhash bits), ann_lsh_approx /
-    # ann_ivf_approx (approximate by design; recall pytest-asserted),
-    # hll_distinct_events (approximate sketch; accuracy pytest-asserted).
+    # rows-only (no SQL-expressible oracle): simhash_pairs_docs (Hamming
+    # over hash bits), ann_lsh_approx / ann_ivf_approx (approximate by
+    # design; recall pytest-asserted), hll_distinct_events (approximate
+    # sketch; accuracy pytest-asserted), media_features_docs (stubbed
+    # codec).
 }
