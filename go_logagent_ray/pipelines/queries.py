@@ -1249,6 +1249,30 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_profile_events(sf_dir: str):
+    """Column profiling: per-column row/null counts and value ranges via
+    per-batch partials + tiny merge (order-independent stats only, so
+    the float compare is exact)."""
+    from ..stages.profile import profile_numeric
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return profile_numeric(ds, ["event_id", "user_id", "value"])
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'event_id' AS "column", COUNT(*) AS n,
+       COUNT(*) - COUNT(event_id) AS n_null,
+       CAST(MIN(event_id) AS DOUBLE) AS min,
+       CAST(MAX(event_id) AS DOUBLE) AS max FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE) FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+       MIN(value), MAX(value) FROM events
+"""
+
+
 def q_sliding_window_counts(sf_dir: str):
     """W family, hopping windows: 2h-long windows starting every hour —
     each event explodes to its 2 covering windows vectorized, then the
@@ -1405,6 +1429,7 @@ QUERIES = {
     "range_join_events": q_range_join_events,
     "sliding_window_counts": q_sliding_window_counts,
     "dedup_broadcast_docs": q_dedup_broadcast_docs,
+    "profile_events": q_profile_events,
 }
 
 ORACLE_SQL = {
@@ -1455,6 +1480,7 @@ ORACLE_SQL = {
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
     "dedup_broadcast_docs": SQL_DEDUP_BROADCAST_DOCS,
+    "profile_events": SQL_PROFILE_EVENTS,
     # rows-only (no SQL-expressible oracle): simhash_pairs_docs (Hamming
     # over hash bits), ann_lsh_approx / ann_ivf_approx (approximate by
     # design; recall pytest-asserted), hll_distinct_events (approximate

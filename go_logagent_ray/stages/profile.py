@@ -1,0 +1,52 @@
+"""Column profiling — per-column data-quality stats in one pass.
+
+A corpus pipeline's standard pre-flight: row/null counts and value
+ranges per column, computed as per-batch partials (one tiny row per
+column per batch) merged by a small groupby — the shuffle moves
+O(columns × blocks) rows regardless of data size. Only order-independent
+stats are emitted (counts, min, max): a float SUM would depend on
+reduction order and could not be oracle-compared exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min, Sum
+
+from ..functions.arrow_utils import as_combined
+
+
+def profile_numeric(ds: Dataset, columns: list[str]) -> Dataset:
+    """Per-column (n, n_null, min, max) over numeric columns, all values
+    cast to float64 for a uniform output schema. Output: one row per
+    column — (column:string, n:int64, n_null:int64, min:float64,
+    max:float64)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in columns:
+            col = pc.cast(as_combined(batch[c]), pa.float64())
+            mm = pc.min_max(col)  # ignores nulls; null result if all-null
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            mins.append(mm["min"].as_py())
+            maxs.append(mm["max"].as_py())
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "n_null": pa.array(nulls, type=pa.int64()),
+            "min": pa.array(mins, type=pa.float64()),
+            "max": pa.array(maxs, type=pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby("column").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("n_null", alias_name="n_null"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )

@@ -60,3 +60,21 @@ def test_exact_group_median(ray_session):
     out = {r["k"]: r["median_x1000"] for r in
            exact_group_median(rd.from_arrow(t), "k", "v").take_all()}
     assert out == {"a": 2500, "b": 7000}
+
+
+def test_profile_numeric_with_nulls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.profile import profile_numeric
+
+    t = pa.table({
+        "a": pa.array([1, None, 3, None, 5], type=pa.int64()),
+        "b": pa.array([2.5, -1.0, None, 0.0, 9.75]),
+    })
+    out = {r["column"]: (r["n"], r["n_null"], r["min"], r["max"])
+           for r in profile_numeric(rd.from_arrow(t).repartition(3),
+                                    ["a", "b"]).take_all()}
+    assert out["a"] == (5, 2, 1.0, 5.0)
+    assert out["b"] == (5, 1, -1.0, 9.75)
