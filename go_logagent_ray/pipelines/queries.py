@@ -1374,6 +1374,36 @@ def q_media_features_docs(sf_dir: str):
     return feats.select_columns(["media_id", "mime"]).to_pandas()
 
 
+def q_media_frames_docs(sf_dir: str):
+    """Multimodal frame-sampling plumbing (video analog): each binary
+    payload explodes to n pseudo-frames with per-frame features through
+    the stubbed decode — rows-only; verifies the flat_map-shaped output
+    layout (rows == docs × n_frames asserted here)."""
+    from ..stages.multimodal import FrameSampleStage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": as_combined(batch["doc_id"]),
+            "payload": pc.cast(as_combined(batch["text"]), pa.binary()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    frames = media.map_batches(
+        FrameSampleStage, fn_constructor_kwargs=dict(n_frames=4,
+                                                     decode="fake"),
+        batch_format="pyarrow", batch_size=128, concurrency=2)
+    return counts_by(frames, ["frame_idx"], alias="n")
+
+
+SQL_MEDIA_FRAMES_DOCS = """
+SELECT CAST(r AS INTEGER) AS frame_idx,
+       (SELECT COUNT(*) FROM documents) AS n
+FROM range(4) t(r)
+"""
+
+
 # ================================================================ registry
 
 QUERIES = {
@@ -1424,6 +1454,7 @@ QUERIES = {
     "incremental_counts": q_incremental_counts,
     "quality_stats_docs": q_quality_stats_docs,
     "media_features_docs": q_media_features_docs,
+    "media_frames_docs": q_media_frames_docs,
     "split_sample_docs": q_split_sample_docs,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
@@ -1481,6 +1512,7 @@ ORACLE_SQL = {
     "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
     "dedup_broadcast_docs": SQL_DEDUP_BROADCAST_DOCS,
     "profile_events": SQL_PROFILE_EVENTS,
+    "media_frames_docs": SQL_MEDIA_FRAMES_DOCS,  # frame-count conservation
     # rows-only (no SQL-expressible oracle): simhash_pairs_docs (Hamming
     # over hash bits), ann_lsh_approx / ann_ivf_approx (approximate by
     # design; recall pytest-asserted), hll_distinct_events (approximate

@@ -148,9 +148,10 @@ def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     lens = toks.list.len().to_numpy().astype(np.int64)
     offsets = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    # explode turns an empty list into one null row — drop those; real
-    # tokens are never null (extract_all yields strings)
-    flat = toks.explode().drop_nulls()
+    # empty lists produce NO rows (pinned: polars 2.0 flips the default
+    # and the un-pinned call warns per batch); real tokens are never
+    # null, so drop_nulls is a no-op safety net
+    flat = toks.explode(empty_as_null=False).drop_nulls()
     h = flat.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
     return h, offsets
 
