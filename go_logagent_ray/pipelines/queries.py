@@ -375,8 +375,7 @@ def _langid_sql() -> str:
     arms = []
     for i, l in enumerate(langs[:-1]):
         rest = ", ".join(cnt[m] for m in langs[i + 1:])
-        greatest = f"GREATEST({rest})" if "," in rest else rest
-        arms.append(f"WHEN {cnt[l]} >= {greatest} THEN '{l}'")
+        arms.append(f"WHEN {cnt[l]} >= GREATEST({rest}) THEN '{l}'")
     case = (
         "CASE WHEN text IS NULL THEN 'und' "
         f"WHEN {cjk} > 0 THEN 'zh' "
@@ -1250,27 +1249,28 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 
 
 def q_profile_events(sf_dir: str):
-    """Column profiling: per-column row/null counts and value ranges via
-    per-batch partials + tiny merge (order-independent stats only, so
-    the float compare is exact)."""
+    """Column profiling: per-column row/null/NaN counts and value ranges
+    via per-batch partials + tiny merge. min/max are over non-NaN values
+    (NaN counted separately — engines disagree on NaN ordering), so the
+    float compare against the NaN-filtered SQL is exact."""
     from ..stages.profile import profile_numeric
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
     return profile_numeric(ds, ["event_id", "user_id", "value"])
 
 
-SQL_PROFILE_EVENTS = """
-SELECT 'event_id' AS "column", COUNT(*) AS n,
-       COUNT(*) - COUNT(event_id) AS n_null,
-       CAST(MIN(event_id) AS DOUBLE) AS min,
-       CAST(MAX(event_id) AS DOUBLE) AS max FROM events
-UNION ALL
-SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
-       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE) FROM events
-UNION ALL
-SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
-       MIN(value), MAX(value) FROM events
-"""
+def _profile_col_sql(col: str) -> str:
+    d = f"CAST({col} AS DOUBLE)"
+    return (f"SELECT '{col}' AS \"column\", COUNT(*) AS n, "
+            f"COUNT(*) - COUNT({col}) AS n_null, "
+            f"CAST(COALESCE(SUM(CASE WHEN isnan({d}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nan, "
+            f"MIN(CASE WHEN isnan({d}) THEN NULL ELSE {d} END) AS min, "
+            f"MAX(CASE WHEN isnan({d}) THEN NULL ELSE {d} END) AS max "
+            "FROM events")
+
+
+SQL_PROFILE_EVENTS = " UNION ALL ".join(
+    _profile_col_sql(c) for c in ["event_id", "user_id", "value"])
 
 
 def q_sliding_window_counts(sf_dir: str):
@@ -1377,8 +1377,10 @@ def q_media_features_docs(sf_dir: str):
 def q_media_frames_docs(sf_dir: str):
     """Multimodal frame-sampling plumbing (video analog): each binary
     payload explodes to n pseudo-frames with per-frame features through
-    the stubbed decode — rows-only; verifies the flat_map-shaped output
-    layout (rows == docs × n_frames asserted here)."""
+    the stubbed decode. ORACLE-CHECKED via frame-count conservation:
+    every frame_idx's count equals the document count (the oracle
+    assumes a non-empty documents table — with zero docs the pipeline
+    yields 0 rows while the range(4) oracle yields 4 zero-count rows)."""
     from ..stages.multimodal import FrameSampleStage
 
     def to_media(batch: pa.Table) -> pa.Table:

@@ -62,8 +62,7 @@ def test_exact_group_median(ray_session):
     assert out == {"a": 2500, "b": 7000}
 
 
-def test_profile_numeric_with_nulls(ray_session):
-    import numpy as np
+def test_profile_numeric_with_nulls_and_nans(ray_session):
     import pyarrow as pa
     import ray.data as rd
 
@@ -71,10 +70,11 @@ def test_profile_numeric_with_nulls(ray_session):
 
     t = pa.table({
         "a": pa.array([1, None, 3, None, 5], type=pa.int64()),
-        "b": pa.array([2.5, -1.0, None, 0.0, 9.75]),
+        "b": pa.array([2.5, float("nan"), None, 0.0, 9.75]),
     })
-    out = {r["column"]: (r["n"], r["n_null"], r["min"], r["max"])
+    out = {r["column"]: (r["n"], r["n_null"], r["n_nan"], r["min"], r["max"])
            for r in profile_numeric(rd.from_arrow(t).repartition(3),
                                     ["a", "b"]).take_all()}
-    assert out["a"] == (5, 2, 1.0, 5.0)
-    assert out["b"] == (5, 1, -1.0, 9.75)
+    assert out["a"] == (5, 2, 0, 1.0, 5.0)
+    # NaN counted separately; min/max over non-NaN values
+    assert out["b"] == (5, 1, 1, 0.0, 9.75)
