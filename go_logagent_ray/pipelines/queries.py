@@ -1105,6 +1105,18 @@ FROM events
 """
 
 
+def q_session_windows_salted(sf_dir: str):
+    """W+P: session windowing through the salted two-level path — local
+    sessions per (key, order//chunk) stitched across boundaries; the
+    merge task holds one row per local session, not per turn, so a hot
+    key never pins a task. Same oracle as the unsalted query."""
+    from ..stages.window import session_windows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return session_windows(ds, key="user_id", ts="ts", order="event_id",
+                           gap_us=_SESSION_GAP_US, salt_chunk=64)
+
+
 def q_hll_distinct_events(sf_dir: str):
     """A3 sketch path: HyperLogLog distinct user_id estimate (rows-only:
     the estimate is deterministic but approximate by design; accuracy and
@@ -1450,6 +1462,7 @@ QUERIES = {
     "inline_source_counts": q_inline_source_counts,
     "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
+    "session_windows_salted": q_session_windows_salted,
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
     "grok_multifield_events": q_grok_multifield_events,
@@ -1504,6 +1517,7 @@ ORACLE_SQL = {
     "inline_source_counts": SQL_INLINE_SOURCE_COUNTS,
     "sorted_turns": SQL_SORTED_TURNS,
     "conv_gap_stats_salted": SQL_CONV_GAP_STATS,  # salting must not change stats
+    "session_windows_salted": SQL_SESSION_WINDOWS,  # ditto for sessions
     "apache_log_parse": SQL_APACHE_LOG_PARSE,
     "grok_multifield_events": SQL_GROK_MULTIFIELD_EVENTS,
     "incremental_counts": SQL_FLAGSHIP_SINK_COUNTS,  # streaming == batch

@@ -165,10 +165,27 @@ def sliding_window_counts(ds: Dataset, key: str, ts: str,
 
 def session_windows(ds: Dataset, key: str = "conv_id", ts: str = "ts",
                     order: str = "turn_idx",
-                    gap_us: int = 600_000_000) -> Dataset:
+                    gap_us: int = 600_000_000, *,
+                    salt_chunk: int | None = None,
+                    hot: set | None = None) -> Dataset:
     """Session windowing: split each conversation where the inter-turn gap
     exceeds ``gap_us``; emits (key, session_idx, n_turns, start_ts, end_ts).
-    Needs full, ordered conversations (unsalted grouping)."""
+
+    Default path: full, ordered conversations (unsalted grouping). Salted
+    path (``salt_chunk``): sessions ARE mergeable across contiguous
+    order-range chunks — each (key, order//chunk) sub-group emits its
+    LOCAL sessions plus boundary info, and a per-key second pass stitches
+    sessions across chunk boundaries (gap ≤ gap_us → merge) and
+    renumbers. The merge task holds one row per LOCAL SESSION, not per
+    turn — a hot conversation with few gaps costs O(chunks), not
+    O(turns). Results identical to the unsalted path PROVIDED ``ts`` is
+    non-decreasing in ``order`` within each key (true for transcript
+    data by construction) — the stitch compares session boundary
+    timestamps, which equal the boundary TURNS' timestamps only under
+    that monotonicity."""
+    if salt_chunk is not None:
+        return _session_windows_salted(ds, key, ts, order, gap_us,
+                                       salt_chunk, hot)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order)
@@ -186,3 +203,71 @@ def session_windows(ds: Dataset, key: str = "conv_id", ts: str = "ts",
                                           "start_us", "end_us"])
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def _session_windows_salted(ds: Dataset, key: str, ts: str, order: str,
+                            gap_us: int, salt_chunk: int,
+                            hot: set | None) -> Dataset:
+    """Two-level session windowing: local sessions per (key, order//chunk)
+    → per-key boundary stitch (sessions whose inter-chunk gap ≤ gap_us
+    merge; ``session_idx`` renumbered in order)."""
+    import pyarrow as pa
+
+    from ..functions.arrow_utils import as_combined, set_column
+
+    chunk = max(1, int(salt_chunk))
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        o = as_combined(batch[order]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        salt = o // chunk
+        if hot is not None:
+            keys = np.asarray(as_combined(batch[key]).to_pylist(), dtype=object)
+            salt = np.where(np.isin(keys, list(hot)), salt, 0)
+        return set_column(batch, "_salt", pa.array(salt, type=pa.int64()))
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order)
+        t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        brk = np.zeros(len(t), dtype=np.int64)
+        if len(t) > 1:
+            brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        first_order = g[order].to_numpy()[0]
+        rows = []
+        for s in np.unique(sid):
+            m = sid == s
+            rows.append((g[key].iloc[0], int(first_order), int(s),
+                         int(m.sum()), int(t[m].min()), int(t[m].max())))
+        return pd.DataFrame(rows, columns=[key, "_chunk_order", "_local_sid",
+                                           "n_turns", "start_us", "end_us"])
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        # sessions ordered by (chunk position, local idx); within a chunk
+        # locals are already gap-split, so only adjacent-session
+        # boundaries can merge
+        g = g.sort_values(["_chunk_order", "_local_sid"])
+        n = g["n_turns"].to_numpy().copy()
+        start = g["start_us"].to_numpy().copy()
+        end = g["end_us"].to_numpy().copy()
+        out_n, out_s, out_e = [n[0]], [start[0]], [end[0]]
+        for i in range(1, len(g)):
+            if start[i] - out_e[-1] <= gap_us:
+                out_n[-1] += n[i]
+                out_s[-1] = min(out_s[-1], start[i])
+                out_e[-1] = max(out_e[-1], end[i])
+            else:
+                out_n.append(n[i]); out_s.append(start[i]); out_e.append(end[i])
+        return pd.DataFrame({
+            key: [g[key].iloc[0]] * len(out_n),
+            "session_idx": np.arange(len(out_n), dtype=np.int64),
+            "n_turns": np.array(out_n, dtype=np.int64),
+            "start_us": np.array(out_s, dtype=np.int64),
+            "end_us": np.array(out_e, dtype=np.int64),
+        })
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    locals_ = salted.groupby([key, "_salt"]).map_groups(
+        local_sessions, batch_format="pandas")
+    return locals_.groupby(key).map_groups(stitch, batch_format="pandas")

@@ -442,3 +442,47 @@ def test_exact_dedup_broadcast_matches_shuffle(docs_with_dups):
     a = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
     b = sorted(r["doc_id"] for r in exact_dedup_broadcast(ds).take_all())
     assert a == b and len(b) == 61
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+            max_size=40),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_texts)
+def test_minhash_batch_equals_per_row(texts):
+    """Property: the batched reduceat signature path equals computing
+    each document's signature alone (guards the offset/segment
+    indexing), including empty/whitespace-only/short docs."""
+    from go_logagent_ray.stages.dedup import (
+        MinHasher, _shingle_hashes, _tokenize_hashes)
+
+    mh = MinHasher(num_perm=16)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    batch_sigs = np.asarray(
+        mh(t)["sig"].combine_chunks().flatten()).reshape(len(texts), 16)
+    for i, txt in enumerate(texts):
+        h, off = _tokenize_hashes(pa.array([txt]))
+        grams, goff = _shingle_hashes(h, off, mh.ngram)
+        ref = mh.signature(grams)
+        assert (batch_sigs[i] == ref).all(), (i, txt)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_texts)
+def test_simhash_batch_equals_per_row(texts):
+    from go_logagent_ray.stages.dedup import SimHasher, _tokenize_hashes
+
+    sh = SimHasher()
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    batch = sh(t)["simhash"].to_pylist()
+    for i, txt in enumerate(texts):
+        h, off = _tokenize_hashes(pa.array([txt]))
+        assert batch[i] == SimHasher.simhash64(h), (i, txt)

@@ -179,3 +179,28 @@ def test_sliding_window_counts(ray_session):
     base = {str(r["window_start"]): r["n"]
             for r in tumbling_window_counts(ds, "k", "ts").take_all()}
     assert tumb == base
+
+
+def test_salted_session_windows_match_unsalted(ray_session, transcripts_small):
+    """Two-level session stitching must be exact: same sessions as the
+    single-group path, including planted hot conversations; boundary
+    sessions spanning chunk borders merge correctly."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import session_windows
+
+    ds = rd.from_arrow(transcripts_small)
+
+    def collect(out):
+        d = {}
+        for r in out.take_all():
+            d.setdefault(r["conv_id"], []).append(
+                (r["session_idx"], r["n_turns"], r["start_us"], r["end_us"]))
+        return {k: sorted(v) for k, v in d.items()}
+
+    gap = 1_000_000  # 1 s — small enough that conversations actually split
+    base = collect(session_windows(ds, gap_us=gap))
+    salted = collect(session_windows(ds, gap_us=gap, salt_chunk=16))
+    assert salted == base
+    # some conversation must actually have >1 session for the test to bite
+    assert any(len(v) > 1 for v in base.values())
