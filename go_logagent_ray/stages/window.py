@@ -6,23 +6,44 @@ pattern: ``groupby(key).map_groups(fn)`` where ``fn`` sees one FULL key
 group and applies ordered logic with pandas/numpy.
 
 PARTITIONING ASSUMPTION (documented per SURVEY.md §2 custom-operator
-rule): ``session_windows`` requires all rows of one key in one group —
-i.e. unsalted grouping, with hot-key skew bounding the largest group.
-``conv_gap_stats`` additionally offers a SALTED two-level variant
-(``salt_chunk=...``): rows group by ``(key, order // salt_chunk)`` —
-contiguous order-ranges — each sub-group emits an associative partial
-(count, internal max gap, boundary timestamps), and a tiny second
-groupby re-merges partials per key, adding the cross-boundary gaps. A
-hot conversation then never pins a whole task; results are identical to
-the unsalted path. ``hot`` (e.g. from ``partition.hot_keys``) restricts
-salting to the skewed keys so normal keys keep single-group partials.
+rule): by default each operator needs all rows of one key in one group
+(unsalted grouping), with hot-key skew bounding the largest group. Both
+``conv_gap_stats`` AND ``session_windows`` offer a SALTED two-level
+variant (``salt_chunk=...``): rows group by ``(key, order//salt_chunk)``
+— contiguous order-ranges — each sub-group emits an associative partial
+(gap stats: count/internal max gap/boundary timestamps; sessions: the
+chunk's local sessions), and a tiny second groupby re-merges partials
+per key across chunk boundaries. A hot conversation then never pins a
+whole task; results are identical to the unsalted path (for sessions,
+under a ts-monotone-in-order precondition that is CHECKED at runtime).
+``hot`` (e.g. from ``partition.hot_keys``) restricts salting to the
+skewed keys so normal keys keep single-group partials.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from ray.data import Dataset
+
+from ..functions.arrow_utils import as_combined, set_column
+
+
+def _make_add_salt(key: str, order: str, chunk: int, hot: set | None):
+    """Shared (key, order//chunk) salting stage for the two-level window
+    variants; ``hot`` restricts salting to the skewed keys."""
+    def add_salt(batch: pa.Table) -> pa.Table:
+        o = as_combined(batch[order]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        salt = o // chunk
+        if hot is not None:
+            keys = np.asarray(as_combined(batch[key]).to_pylist(),
+                              dtype=object)
+            salt = np.where(np.isin(keys, list(hot)), salt, 0)
+        return set_column(batch, "_salt", pa.array(salt, type=pa.int64()))
+
+    return add_salt
 
 
 def conv_gap_stats(ds: Dataset, key: str = "conv_id", ts: str = "ts",
@@ -55,20 +76,8 @@ def conv_gap_stats(ds: Dataset, key: str = "conv_id", ts: str = "ts",
 def _gap_stats_salted(ds: Dataset, key: str, ts: str, order: str,
                       salt_chunk: int, hot: set | None) -> Dataset:
     """Two-level assoc merge: (key, order//chunk) partials → per-key merge."""
-    import pyarrow as pa
-
-    from ..functions.arrow_utils import as_combined, set_column
-
     chunk = max(1, int(salt_chunk))
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        o = as_combined(batch[order]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        salt = o // chunk
-        if hot is not None:
-            keys = np.asarray(as_combined(batch[key]).to_pylist(), dtype=object)
-            salt = np.where(np.isin(keys, list(hot)), salt, 0)
-        return set_column(batch, "_salt", pa.array(salt, type=pa.int64()))
+    add_salt = _make_add_salt(key, order, chunk, hot)
 
     # "no internal gap" sentinel for single-row partials: 0 would CLAMP a
     # true negative max gap (out-of-order timestamps) and diverge from
@@ -211,24 +220,22 @@ def _session_windows_salted(ds: Dataset, key: str, ts: str, order: str,
     """Two-level session windowing: local sessions per (key, order//chunk)
     → per-key boundary stitch (sessions whose inter-chunk gap ≤ gap_us
     merge; ``session_idx`` renumbered in order)."""
-    import pyarrow as pa
-
-    from ..functions.arrow_utils import as_combined, set_column
-
     chunk = max(1, int(salt_chunk))
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        o = as_combined(batch[order]).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        salt = o // chunk
-        if hot is not None:
-            keys = np.asarray(as_combined(batch[key]).to_pylist(), dtype=object)
-            salt = np.where(np.isin(keys, list(hot)), salt, 0)
-        return set_column(batch, "_salt", pa.array(salt, type=pa.int64()))
+    add_salt = _make_add_salt(key, order, chunk, hot)
 
     def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order)
         t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(t) > 1 and (np.diff(t) < 0).any():
+            # the stitch compares session BOUNDARY timestamps, which only
+            # equal the boundary TURNS' timestamps when ts is monotone in
+            # order — fail loudly instead of silently diverging from the
+            # unsalted path
+            raise ValueError(
+                "session_windows(salt_chunk=...) requires ts non-decreasing "
+                f"in {order!r} within each key; found out-of-order "
+                f"timestamps for key {g[key].iloc[0]!r} — use "
+                "salt_chunk=None for non-monotone data")
         brk = np.zeros(len(t), dtype=np.int64)
         if len(t) > 1:
             brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
@@ -247,9 +254,9 @@ def _session_windows_salted(ds: Dataset, key: str, ts: str, order: str,
         # locals are already gap-split, so only adjacent-session
         # boundaries can merge
         g = g.sort_values(["_chunk_order", "_local_sid"])
-        n = g["n_turns"].to_numpy().copy()
-        start = g["start_us"].to_numpy().copy()
-        end = g["end_us"].to_numpy().copy()
+        n = g["n_turns"].to_numpy()
+        start = g["start_us"].to_numpy()
+        end = g["end_us"].to_numpy()
         out_n, out_s, out_e = [n[0]], [start[0]], [end[0]]
         for i in range(1, len(g)):
             if start[i] - out_e[-1] <= gap_us:

@@ -204,3 +204,23 @@ def test_salted_session_windows_match_unsalted(ray_session, transcripts_small):
     assert salted == base
     # some conversation must actually have >1 session for the test to bite
     assert any(len(v) > 1 for v in base.values())
+
+
+def test_salted_sessions_reject_non_monotone_ts(ray_session):
+    """The salted session path must fail loudly (not silently diverge)
+    when ts is not monotone in order within a key."""
+    import pandas as pd
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import session_windows
+
+    ts = np.array(["2024-01-01T01:00:00", "2024-01-01T00:00:00",
+                   "2024-01-01T02:00:00"], dtype="datetime64[us]")
+    t = pa.table({"conv_id": pa.array(["k"] * 3),
+                  "turn_idx": pa.array([0, 1, 2], type=pa.int32()),
+                  "ts": pa.array(ts)})
+    ds = rd.from_arrow(t)
+    # unsalted path handles non-monotone data fine
+    assert session_windows(ds, gap_us=1).count() >= 1
+    with pytest.raises(Exception):
+        session_windows(ds, gap_us=1, salt_chunk=2).materialize()
