@@ -138,9 +138,12 @@ def bench_queries() -> dict[str, float]:
         "lineitem_agg",           # multi-agg partials (600k rows at sf0.1)
         "broadcast_join",         # broadcast dim join
         "dedup_exact_docs",       # content-hash dedup
-        "minhash_pairs_docs",     # MinHash LSH near-dup
+        "minhash_pairs_docs",     # MinHash LSH near-dup (single shuffle)
         "token_stats_docs",       # text analysis kernels
         "ann_topk",               # brute-force cosine top-k
+        "ngram_jaccard_docs",     # LSH-prefiltered exact near-dup (r2)
+        "asof_join_events",       # as-of join custom operator (r2)
+        "range_join_events",      # bucketed range join custom op (r2)
     ]
     out: dict[str, float] = {}
     for name in picks:
