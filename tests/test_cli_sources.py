@@ -64,3 +64,41 @@ def test_sources(ray_session, transcripts_parquet):
     assert set(ds.schema().names) == {"conv_id", "text"}
     ds2 = from_lines(["a", "b"])
     assert ds2.count() == 2
+
+
+def test_tcp_line_source_feeds_filter_chain(ray_session):
+    """S3 (tcp input): lines pushed over a localhost socket surface as
+    Arrow micro-batches and run through the same grok chain as any other
+    source; trailing unterminated lines flush on disconnect."""
+    import socket
+
+    import ray.data as rd
+
+    from go_logagent_ray.sources.socketline import TcpLineSource
+    from go_logagent_ray.stages.grok import GrokParser
+
+    src = TcpLineSource()
+    try:
+        with socket.create_connection((src.host, src.port), timeout=5) as c:
+            c.sendall(b"INFO boot id=1\nERROR crash id=2\n")
+        with socket.create_connection((src.host, src.port), timeout=5) as c:
+            c.sendall(b"WARN disk id=3")  # no trailing newline
+        got = []
+        for _ in range(20):
+            t = src.poll_batch(timeout_s=0.5)
+            if t is not None:
+                got.append(t)
+            if sum(x.num_rows for x in got) >= 3:
+                break
+        import pyarrow as pa
+
+        table = pa.concat_tables(got)
+        assert table.num_rows == 3
+        ds = rd.from_arrow(table)
+        out = ds.map_batches(
+            GrokParser("%{LOGLEVEL:level} %{WORD:msg} id=%{INT:id:int}"),
+            batch_format="pyarrow").take_all()
+        assert sorted((r["level"], r["id"]) for r in out) == [
+            ("ERROR", 2), ("INFO", 1), ("WARN", 3)]
+    finally:
+        src.close()
