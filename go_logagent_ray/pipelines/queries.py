@@ -407,7 +407,10 @@ def q_fingerprint_docs(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["fp64", "doc_id"]).group_by(["fp64"]) \
             .aggregate([("doc_id", "min")])
-        return t.rename_columns(["fp64", "doc_id"])
+        # rename by name, not position — pyarrow aggregate column order
+        # has varied across releases
+        return t.select(["fp64", "doc_id_min"]) \
+            .rename_columns(["fp64", "doc_id"])
 
     reps = fp.map_batches(partial, batch_format="pyarrow") \
         .groupby("fp64").aggregate(Min("doc_id", alias_name="rep"))
@@ -671,7 +674,10 @@ def q_lineitem_agg(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")])
-        return t.rename_columns(
+        # rename by name, not position — pyarrow aggregate column order
+        # has varied across releases
+        return t.select(["l_returnflag", "l_linestatus", "l_quantity_sum",
+                         "l_extendedprice_sum", "count_all"]).rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n"])
 
     out = ds.map_batches(partial, batch_format="pyarrow") \

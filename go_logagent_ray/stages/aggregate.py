@@ -32,7 +32,14 @@ from ray.data.aggregate import Sum
 
 
 def _rename(part: pa.Table, keys: list[str], alias: str) -> pa.Table:
-    return part.rename_columns(keys + [alias])
+    # Select by NAME before renaming: pyarrow group_by().aggregate()
+    # column ORDER (keys-first vs aggregates-first) has differed across
+    # pyarrow releases, so a positional rename could silently swap the
+    # key and value columns under a version change.
+    agg = [c for c in part.column_names if c not in keys]
+    if len(agg) != 1:
+        raise ValueError(f"expected one aggregate column, got {agg}")
+    return part.select(keys + agg).rename_columns(keys + [alias])
 
 
 def _tree_reduce(partials: Dataset, keys: list[str], alias: str,

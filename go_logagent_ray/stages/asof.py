@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..functions.arrow_utils import as_combined
@@ -61,11 +62,22 @@ def asof_join_backward(
     union_types[on_r] = r_types[on]
     union_types.update({v + suffix: r_types[v] for v in right_values})
 
+    def drop_null_join_cols(batch: pa.Table) -> pa.Table:
+        # SQL ASOF JOIN semantics: a NULL key or NULL time matches
+        # nothing. Dropped BEFORE the shuffle (less data moved) — and
+        # before the numpy merge, where a null int64 time would become
+        # NaN and sort as the LARGEST value, wrongly matching the
+        # latest right row.
+        mask = pc.and_kleene(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
+        return batch.filter(mask)
+
     def pad_left(batch: pa.Table) -> pa.Table:
+        batch = drop_null_join_cols(batch)
         cols = {c: as_combined(batch[c]) for c in batch.column_names}
         return pad_to_schema(cols, union_types, batch.num_rows, 0)
 
     def pad_right(batch: pa.Table) -> pa.Table:
+        batch = drop_null_join_cols(batch)
         cols = {key: as_combined(batch[key]),
                 on_r: as_combined(batch[on])}
         for v in right_values:

@@ -43,7 +43,10 @@ def exact_keepers(ds: Dataset, text_field: str = "text",
             .group_by(["_fp"])
             .aggregate([(id_field, "min")])
         )
-        return part.rename_columns(["_fp", id_field])
+        # select by name first — pyarrow aggregate column order is not
+        # stable across releases (keys-first only on some versions)
+        return part.select(["_fp", id_field + "_min"]) \
+            .rename_columns(["_fp", id_field])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby("_fp").aggregate(Min(id_field, alias_name=id_field))

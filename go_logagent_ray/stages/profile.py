@@ -39,7 +39,13 @@ def profile_numeric(ds: Dataset, columns: list[str]) -> Dataset:
             v = col.to_numpy(zero_copy_only=False)
             # to_numpy renders nulls as NaN too — subtract them out
             n_nan = int(np.isnan(v).sum()) - col.null_count
-            mm = pc.min_max(col)  # skips nulls AND NaN (documented)
+            # mask NaN to null BEFORE min_max: on an all-NaN (or NaN+null)
+            # batch pc.min_max returns +inf/-inf instead of null
+            # (pyarrow 16.1), which would leak inf into the merged profile;
+            # with NaN masked out an all-NaN batch yields null as documented
+            masked = pc.if_else(pc.is_nan(col),
+                                pa.scalar(None, type=pa.float64()), col)
+            mm = pc.min_max(masked)
             names.append(c)
             ns.append(batch.num_rows)
             nulls.append(col.null_count)

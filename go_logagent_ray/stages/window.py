@@ -257,6 +257,19 @@ def _session_windows_salted(ds: Dataset, key: str, ts: str, order: str,
         n = g["n_turns"].to_numpy()
         start = g["start_us"].to_numpy()
         end = g["end_us"].to_numpy()
+        # PER-KEY monotonicity check: the local check only sees one chunk,
+        # so a ts inversion that straddles a chunk boundary (or a key
+        # whose chunks hold single rows) would pass it and silently
+        # diverge from the unsalted path. Under monotone ts every
+        # session's start is ≥ the previous session's end (a chunk's
+        # first/last session boundaries ARE its first/last turn ts), so
+        # any start[i] < end[i-1] proves an inversion.
+        if len(g) > 1 and bool((start[1:] < end[:-1]).any()):
+            raise ValueError(
+                "session_windows(salt_chunk=...) requires ts non-decreasing "
+                f"in order within each key; found out-of-order timestamps "
+                f"across chunk boundaries for key {g[key].iloc[0]!r} — use "
+                "salt_chunk=None for non-monotone data")
         out_n, out_s, out_e = [n[0]], [start[0]], [end[0]]
         for i in range(1, len(g)):
             if start[i] - out_e[-1] <= gap_us:

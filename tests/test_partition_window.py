@@ -224,3 +224,25 @@ def test_salted_sessions_reject_non_monotone_ts(ray_session):
     assert session_windows(ds, gap_us=1).count() >= 1
     with pytest.raises(Exception):
         session_windows(ds, gap_us=1, salt_chunk=2).materialize()
+
+
+def test_salted_sessions_reject_cross_chunk_inversion(ray_session):
+    """Regression (r2 advice): a ts inversion that straddles a chunk
+    boundary — every chunk holding a single row, so the per-chunk check
+    is vacuous — must still fail loudly in the stitch, not silently
+    produce fewer sessions than the unsalted path."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.window import session_windows
+
+    ts = np.array([1000, 0, 500], dtype="datetime64[us]")
+    t = pa.table({"conv_id": pa.array(["k"] * 3),
+                  "turn_idx": pa.array([0, 1, 2], type=pa.int32()),
+                  "ts": pa.array(ts)})
+    ds = rd.from_arrow(t)
+    # unsalted: [1000, 0, 500] with gap 300 µs splits into 2 sessions
+    assert session_windows(ds, gap_us=300).count() == 2
+    with pytest.raises(Exception):
+        # salt_chunk=1 → one row per chunk: the local monotonicity check
+        # can never fire, only the per-key stitch check can
+        session_windows(ds, gap_us=300, salt_chunk=1).materialize()

@@ -213,6 +213,34 @@ def test_asof_join_backward(ray_session):
     assert got == {("a", 10): (8, "s8"), ("a", 20): (15, "s15")}
 
 
+def test_asof_join_null_timestamps_match_nothing(ray_session):
+    """Regression (r2 advice): NULL join columns must produce NO match
+    (SQL ASOF JOIN semantics) — previously a null left time became NaN,
+    sorted as the largest value, and wrongly matched the latest right
+    row; a null right time could be matched as t_r."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.asof import asof_join_backward
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", None]),
+        "t": pa.array([10, None, 10], type=pa.int64()),
+        "payload": pa.array(["ok", "null_t", "null_k"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "a"]),
+        "t": pa.array([8, None, None], type=pa.int64()),
+        "state": pa.array(["s8", "snull1", "snull2"]),
+    }))
+    out = asof_join_backward(left, right, key="k", on="t",
+                             right_values=["state"]).take_all()
+    got = {(r["payload"]): (r["t_r"], r["state_r"]) for r in out}
+    # only the fully-non-null left row matches, and only the non-null
+    # right row can be its match
+    assert got == {"ok": (8, "s8")}
+
+
 def test_range_join_buckets(ray_session):
     """Bucketed range join equals the brute-force containment join,
     including ranges spanning multiple buckets and empty buckets."""

@@ -78,3 +78,27 @@ def test_profile_numeric_with_nulls_and_nans(ray_session):
     assert out["a"] == (5, 2, 0, 1.0, 5.0)
     # NaN counted separately; min/max over non-NaN values
     assert out["b"] == (5, 1, 1, 0.0, 9.75)
+
+
+def test_profile_numeric_all_nan_column_reports_null(ray_session):
+    """Regression (r2 advice): pc.min_max over an all-NaN (or NaN+null)
+    column returns +inf/-inf on pyarrow 16 — the profile must mask NaN
+    first and report null min/max, matching the SQL oracle's NULL."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.profile import profile_numeric
+
+    nan = float("nan")
+    t = pa.table({
+        "allnan": pa.array([nan, nan, nan]),
+        "nan_and_null": pa.array([nan, None, nan]),
+        "allnull": pa.array([None, None, None], type=pa.float64()),
+    })
+    out = {r["column"]: (r["n"], r["n_null"], r["n_nan"], r["min"], r["max"])
+           for r in profile_numeric(rd.from_arrow(t).repartition(2),
+                                    ["allnan", "nan_and_null",
+                                     "allnull"]).take_all()}
+    assert out["allnan"] == (3, 0, 3, None, None)
+    assert out["nan_and_null"] == (3, 1, 2, None, None)
+    assert out["allnull"] == (3, 3, 0, None, None)
