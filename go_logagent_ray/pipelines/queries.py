@@ -479,11 +479,45 @@ SELECT doc_a, doc_b FROM p WHERE nu > 0 AND ni * 10 >= 7 * nu
 
 
 def q_simhash_pairs_docs(sf_dir: str):
-    """SimHash near-dup pairs (rows-only check: Hamming distance over
-    simhash bits is not SQL-expressible; planted-dup exactness is
-    pytest-verified)."""
+    """SimHash near-dup pairs, ORACLE-CHECKED end-to-end: tokens hashed
+    in md5 mode (= DuckDB ``md5_number_lower``, non-circular — both
+    engines compute md5 independently), so the SQL oracle rebuilds every
+    simhash from text and runs the all-pairs Hamming join. Banding loses
+    nothing at max_hamming=3 (≤3 differing bits across 4 disjoint 16-bit
+    bands leave one band identical), so the mined pair set IS the exact
+    Hamming pair set. Production keeps the vectorized polars token hash —
+    same pipeline, different hash constant."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=3)
+    return simhash_pairs(ds, max_hamming=3, token_hash="md5")
+
+
+# SQL simhash, mirroring stages/dedup.py::SimHasher in md5 mode exactly:
+# same RE2 ASCII-whitespace tokenizer, same md5-lower-64 token hash, the
+# same 2·ones−n bit votes (SUM of ±1), bit set iff vote > 0. Token-less
+# docs never enter ``toks`` (empty extract_all → no unnest rows), which
+# matches the pipeline's n_tokens > 0 filter. The HUGEINT shift is
+# needed because 1::UBIGINT << 63 overflows DuckDB's left shift.
+SQL_SIMHASH_PAIRS_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\f\r]+')) AS tok
+  FROM documents),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+votes AS (
+  SELECT doc_id, t.b AS bit,
+         SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT CAST(range AS UBIGINT) AS b FROM range(64)) t
+  GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0
+                       THEN CAST(1 AS HUGEINT) << CAST(bit AS INT)
+                       ELSE 0 END) AS UBIGINT) AS s
+  FROM votes GROUP BY 1)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 # =============================================================== embeddings
@@ -1513,6 +1547,7 @@ ORACLE_SQL = {
     "fingerprint_docs": SQL_FINGERPRINT_DOCS,
     "langid_docs": SQL_LANGID_DOCS,
     "minhash_pairs_docs": SQL_MINHASH_PAIRS_DOCS,
+    "simhash_pairs_docs": SQL_SIMHASH_PAIRS_DOCS,
     "ngram_jaccard_docs": SQL_NGRAM_JACCARD_DOCS,
     "ann_lsh": SQL_ANN_TOPK,   # probe-all mode is exact (see q_ann_lsh)
     "ann_ivf": SQL_ANN_TOPK,   # full-probe mode is exact (see q_ann_ivf)

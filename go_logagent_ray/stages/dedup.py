@@ -202,6 +202,34 @@ def _shingle_hashes(h: np.ndarray, offsets: np.ndarray,
     return grams, goffsets
 
 
+def _tokenize_hashes_md5(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Oracle-mode tokenizer: same polars tokenize as
+    ``_tokenize_hashes``, but tokens hashed with the lower 64 bits of
+    md5 (little-endian) — exactly DuckDB's ``md5_number_lower``, so a
+    SQL oracle can recompute the identical hashes. md5 runs per UNIQUE
+    token (np.unique + inverse map), not per occurrence; still a Python
+    loop, so production pipelines keep the vectorized polars hash and
+    this mode exists to make the pipeline SQL-checkable end-to-end."""
+    import hashlib
+
+    import polars as pl
+
+    s = pl.Series(pl.from_arrow(texts)).cast(pl.Utf8).fill_null("")
+    toks = s.str.to_lowercase().str.extract_all(r"[^ \t\n\f\r]+")
+    lens = toks.list.len().to_numpy().astype(np.int64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = toks.explode(empty_as_null=False).drop_nulls().to_numpy()
+    if flat.size == 0:
+        return np.zeros(0, dtype=np.uint64), offsets
+    uniq, inv = np.unique(flat, return_inverse=True)
+    uh = np.array(
+        [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                        "little") for t in uniq],
+        dtype=np.uint64)
+    return uh[inv], offsets
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
     if x.size == 0:
@@ -338,7 +366,9 @@ def minhash_lsh_pairs(
         are processed with a C-speed pandas groupby inside (per-bucket
         map_groups would spin up tens of thousands of tiny frames).
         First-colliding-band ownership makes the global pair set
-        duplicate-free without a second shuffle."""
+        duplicate-free without a second shuffle. The in-bucket compare is
+        one vectorized upper-triangle pass (pairs × num_perm bools — a
+        few MB even for thousand-row buckets), not a per-row loop."""
         band = int(group["band"].iloc[0])
         out_a, out_b, out_s = [], [], []
         for _, bucket in group.groupby("bkey", sort=False):
@@ -347,24 +377,30 @@ def minhash_lsh_pairs(
             g = bucket.sort_values(id_field)
             ids = g[id_field].to_numpy()
             sig = np.stack(g["sig"].to_numpy())
-            if band > 0:
+            ii, jj = np.triu_indices(len(ids), 1)
+            eq = (sig[ii] == sig[jj]).mean(axis=1)
+            hit = eq >= threshold
+            if band > 0 and hit.any():
                 # recompute every EARLIER band's bucket key from the sigs
                 view = sig.reshape(len(ids), bands, rows_per_band)[:, :band, :] \
                     .astype(np.uint64)
                 keys = np.zeros(view.shape[:2], dtype=np.uint64)
                 for t in range(rows_per_band):
                     keys = keys * _FNV + view[:, :, t]
-            for i in range(len(ids)):
-                eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-                hit = eq >= threshold
-                if band > 0 and hit.any():
-                    owned_earlier = (keys[i + 1 :] == keys[i]).any(axis=1)
-                    hit &= ~owned_earlier
-                for j in np.nonzero(hit)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + j])
-                    out_s.append(float(eq[j]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "sim_est": out_s})
+                hit &= ~(keys[ii] == keys[jj]).any(axis=1)
+            sel = np.nonzero(hit)[0]
+            if sel.size:
+                out_a.append(ids[ii[sel]])
+                out_b.append(ids[jj[sel]])
+                out_s.append(eq[sel].astype(np.float64))
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a) if out_a
+            else np.array([], dtype=np.int64),
+            "doc_b": np.concatenate(out_b) if out_b
+            else np.array([], dtype=np.int64),
+            "sim_est": np.concatenate(out_s) if out_s
+            else np.array([], dtype=np.float64),
+        })
 
     return exploded.groupby(["band", "shard"]).map_groups(
         band_pairs, batch_format="pandas")
@@ -376,11 +412,19 @@ def minhash_lsh_pairs(
 class SimHasher:
     """64-bit simhash over word tokens, fully vectorized: polars tokenize
     → per-bit vote sums via ``np.add.reduceat`` over row offsets (no
-    per-document loop)."""
+    per-document loop).
 
-    def __init__(self, text_field: str = "text", id_field: str = "doc_id"):
+    ``token_hash``: "polars" (default, vectorized xxhash — production)
+    or "md5" (DuckDB ``md5_number_lower`` parity — the SQL-oracle mode;
+    identical pipeline, only the 64-bit token-hash constant differs)."""
+
+    def __init__(self, text_field: str = "text", id_field: str = "doc_id",
+                 token_hash: str = "polars"):
+        if token_hash not in ("polars", "md5"):
+            raise ValueError(f"unknown token_hash {token_hash!r}")
         self.text_field = text_field
         self.id_field = id_field
+        self.token_hash = token_hash
 
     @staticmethod
     def simhash64(hs: np.ndarray) -> int:
@@ -396,7 +440,9 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        h, off = _tokenize_hashes(as_combined(batch[self.text_field]))
+        tok = (_tokenize_hashes if self.token_hash == "polars"
+               else _tokenize_hashes_md5)
+        h, off = tok(as_combined(batch[self.text_field]))
         counts = np.diff(off)
         votes = np.zeros((n, 64), dtype=np.int64)
         if h.size:
@@ -420,16 +466,23 @@ class SimHasher:
 
 def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
                   text_field: str = "text", id_field: str = "doc_id",
-                  pair_shards: int = 64) -> Dataset:
+                  pair_shards: int = 64,
+                  token_hash: str = "polars") -> Dataset:
     """Near-dup pairs with simhash: 4×16-bit bands (any exact band match →
     candidate; Hamming ≤ max_hamming verifies). Returns (doc_a, doc_b,
     hamming). Pair-mining groups are ``(band, bkey % pair_shards)`` so no
     task holds corpus/4 signatures, and a pair is emitted only by the
     FIRST band whose 16-bit keys collide — one shuffle, no dedup pass
-    (see minhash_lsh_pairs)."""
+    (see minhash_lsh_pairs).
+
+    RECALL IS 1.0 for ``max_hamming ≤ 3``: at most 3 differing bits
+    across 4 disjoint 16-bit bands leave ≥ 1 band identical (pigeonhole),
+    so banding is a pure optimization, not an approximation — the pair
+    set equals the all-pairs Hamming join and is SQL-oracle-checkable."""
     shards = np.uint64(max(1, pair_shards))
     hashed = ds.map_batches(SimHasher(text_field=text_field,
-                                      id_field=id_field),
+                                      id_field=id_field,
+                                      token_hash=token_hash),
                             batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -462,21 +515,30 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             g = bucket.sort_values(id_field)
             ids = g[id_field].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.uint64)
-            for i in range(len(ids)):
-                x = sh[i + 1 :] ^ sh[i]
-                ham = _popcount64(x)
-                hit = ham <= max_hamming
-                if band > 0 and hit.any():
-                    # first-colliding-band ownership: skip pairs whose
-                    # earlier 16-bit band slice already matched
-                    owned_earlier = np.zeros(len(x), dtype=bool)
-                    for bprev in range(band):
-                        owned_earlier |= ((x >> np.uint64(16 * bprev))
-                                          & np.uint64(0xFFFF)) == 0
-                    hit &= ~owned_earlier
-                for j in np.nonzero(hit)[0]:
-                    a.append(ids[i]); b.append(ids[i + 1 + j]); hd.append(int(ham[j]))
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": hd})
+            # one vectorized upper-triangle pass per bucket
+            ii, jj = np.triu_indices(len(ids), 1)
+            x = sh[ii] ^ sh[jj]
+            ham = _popcount64(x)
+            hit = ham <= max_hamming
+            if band > 0 and hit.any():
+                # first-colliding-band ownership: skip pairs whose
+                # earlier 16-bit band slice already matched
+                owned_earlier = np.zeros(len(x), dtype=bool)
+                for bprev in range(band):
+                    owned_earlier |= ((x >> np.uint64(16 * bprev))
+                                      & np.uint64(0xFFFF)) == 0
+                hit &= ~owned_earlier
+            sel = np.nonzero(hit)[0]
+            if sel.size:
+                a.append(ids[ii[sel]])
+                b.append(ids[jj[sel]])
+                hd.append(ham[sel])
+        return pd.DataFrame({
+            "doc_a": np.concatenate(a) if a else np.array([], dtype=np.int64),
+            "doc_b": np.concatenate(b) if b else np.array([], dtype=np.int64),
+            "hamming": np.concatenate(hd) if hd
+            else np.array([], dtype=np.int64),
+        })
 
     return hashed.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "shard"]).map_groups(band_pairs, batch_format="pandas")
