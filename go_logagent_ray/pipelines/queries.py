@@ -554,8 +554,7 @@ def q_ngram_jaccard_docs(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs_lsh
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ngram_jaccard_pairs_lsh(ds, f"{sf_dir}/documents.parquet",
-                                   threshold_permille=400, bands=32)
+    return ngram_jaccard_pairs_lsh(ds, threshold_permille=400, bands=32)
 
 
 SQL_NGRAM_JACCARD_DOCS = _TRIGRAM_CTE + """
@@ -1300,6 +1299,39 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_asof_join_salted(sf_dir: str):
+    """The SAME as-of join through the two-level SALTED path (P × custom
+    join): rows group by (user_id, ts // 6h), each time chunk resolves
+    its lefts locally, and pending lefts stitch against per-chunk
+    boundary rows — a hot user never pins one task. Identical oracle to
+    ``asof_join_events``; 6 h chunks actually split the sf time range
+    into many chunks, most without error rows, so the
+    boundary-carry-forward path is genuinely exercised."""
+    from ..stages.asof import asof_join_backward
+    from ..stages.filters import DropStage
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    left = ev.map_batches(
+        DropStage([("in", "event_type", ["click", "view"])], mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        DropStage([("eq", "event_type", "error")], mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join_backward(left, right, key="user_id", on="ts",
+                                right_values=[],
+                                salt_chunk=6 * 3600 * 1_000_000)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        err_us = pc.cast(pc.cast(as_combined(batch["ts_r"]),
+                                 pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_id": as_combined(batch["event_id"]),
+            "err_ts_us": err_us,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_profile_events(sf_dir: str):
     """Column profiling: per-column row/null/NaN counts and value ranges
     via per-batch partials + tiny merge. min/max are over non-NaN values
@@ -1516,6 +1548,7 @@ QUERIES = {
     "sliding_window_counts": q_sliding_window_counts,
     "dedup_broadcast_docs": q_dedup_broadcast_docs,
     "profile_events": q_profile_events,
+    "asof_join_salted": q_asof_join_salted,
 }
 
 ORACLE_SQL = {
@@ -1565,6 +1598,7 @@ ORACLE_SQL = {
     "quality_stats_docs": SQL_QUALITY_STATS_DOCS,
     "split_sample_docs": SQL_SPLIT_SAMPLE_DOCS,
     "asof_join_events": SQL_ASOF_JOIN_EVENTS,
+    "asof_join_salted": SQL_ASOF_JOIN_EVENTS,  # same join, salted path
     "range_join_events": SQL_RANGE_JOIN_EVENTS,
     "sliding_window_counts": SQL_SLIDING_WINDOW_COUNTS,
     "dedup_broadcast_docs": SQL_DEDUP_BROADCAST_DOCS,

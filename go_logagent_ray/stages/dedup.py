@@ -604,15 +604,25 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     text_field: str = "text",
     id_field: str = "doc_id",
+    max_group_rows: int = 20_000,
 ) -> Dataset:
     """EXACT word-ngram Jaccard near-dup pairs within co-grouped rows.
 
-    The exact counterpart of minhash_lsh_pairs' estimate: Jaccard over the
-    sets of word n-grams. Pairwise work bounded by group size — same
-    partitioning assumption as charset_jaccard_pairs (keep groups small
-    or pre-filter with MinHash candidates at scale)."""
+    The exact counterpart of minhash_lsh_pairs' estimate: Jaccard over
+    the sets of word n-grams. Pairwise work is O(group²): this is the
+    SMALL-CO-GROUP path, guarded by ``max_group_rows`` (a larger group
+    fails loudly rather than running quadratic work) — the scale path
+    with no group-size assumption is ``ngram_jaccard_pairs_lsh``."""
 
     def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > max_group_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs: group "
+                f"{tuple(group[k].iloc[0] for k in group_keys)!r} has "
+                f"{len(group)} rows (> max_group_rows={max_group_rows}); "
+                "all-pairs verify would be quadratic — use "
+                "ngram_jaccard_pairs_lsh (LSH-prefiltered, no group-size "
+                "assumption) or raise max_group_rows explicitly")
         g = group.sort_values(id_field)
         ids = g[id_field].to_numpy()
         sets = [frozenset(_ngram_strings(t or "", ngram)) for t in g[text_field]]
@@ -633,9 +643,11 @@ def ngram_jaccard_pairs(
         .groupby(group_keys).map_groups(pairs_in_group, batch_format="pandas")
 
 
+_GRAMS_TYPE = pa.list_(pa.large_string())
+
+
 def ngram_jaccard_pairs_lsh(
     ds: Dataset,
-    docs_path: str,
     *,
     threshold_permille: int = 400,
     ngram: int = 3,
@@ -643,37 +655,50 @@ def ngram_jaccard_pairs_lsh(
     id_field: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
-    candidate_threshold: float = 0.2,
+    candidate_threshold: float = 0.0,
     pair_shards: int = 64,
 ) -> Dataset:
     """GLOBAL exact word-n-gram Jaccard near-dup pairs: MinHash-LSH
-    candidate generation + exact verification — the scale path that
-    ``ngram_jaccard_pairs``'s docstring promises (no all-pairs work, no
-    group-key co-location assumption).
+    candidate generation + DISTRIBUTED exact verification — the scale
+    path that ``ngram_jaccard_pairs``'s docstring promises (no all-pairs
+    work, no group-key co-location assumption, no driver-side text
+    state).
 
     Stage 1 mines candidates with banded LSH (bounded sharded groups,
-    only signatures shuffle). Stage 2 collects the candidate ID SET
-    (≪ corpus by construction), reads ONLY those texts back from
-    ``docs_path`` with a pushed-down ID filter, builds each candidate's
-    n-gram set once, broadcasts the map via ``ray.put``, and verifies
-    pairs exactly inside ``map_batches``. The Jaccard test is integer
-    math (``inter·1000 ≥ threshold_permille·union``) so it is bit-exact
+    only signatures shuffle; ``candidate_threshold=0.0`` by default so
+    BANDING ALONE gates candidates — see recall contract). Stage 2
+    collects only the candidate ID ARRAY (8 bytes/doc, numpy int64,
+    ``ray.put`` once — the same broadcast regime as
+    ``exact_dedup_broadcast``), streams the corpus through a vectorized
+    membership filter, and computes each candidate's n-gram STRING set
+    once. The gram lists are then attached to the pairs by TWO
+    hash-partitioned co-group joins (``id % pair_shards`` — bounded
+    groups, vectorized ``index_in``/``take`` attach), and the exact
+    verify runs inside ``map_batches`` over the pair stream. No text or
+    gram set ever lands on the driver; per-task state is one shard of
+    candidates, not the candidate set. The Jaccard test is integer math
+    (``inter·1000 ≥ threshold_permille·union``) so it is bit-exact
     against a SQL oracle. Returns (doc_a, doc_b, n_inter, n_union).
 
     Recall contract (NOT exact): a true pair is missed iff LSH banding
-    misses it — P(miss) = (1-j^r)^b with r = num_perm/bands rows per
-    band. The verification step makes false positives impossible, so the
-    output is a SUBSET of the exact pair set with per-pair recall
-    1-(1-j^r)^b. Match ``bands`` to the threshold: at the default 16×4,
-    recall at j=0.8 is ~0.996 but at j=0.4 only ~0.34; for thresholds
-    near 0.4 use bands=32 (r=2): recall ≥ 0.996 at j=0.4, ≥ 1-1e-23 at
-    j=0.9. An oracle comparing against the exact pair set is sound only
-    when the corpus has no pairs in the low-recall band around the
-    threshold (measured true for the testdata: pairs sit at j ≥ 0.9 or
-    j ≤ 0.07).
+    misses it — with ``candidate_threshold=0.0`` nothing else filters
+    candidates, so P(miss) = (1-j^r)^b exactly, with r = num_perm/bands
+    rows per band. (A positive ``candidate_threshold`` adds a second
+    miss term: pairs whose 64-perm signature-agreement estimate dips
+    below it are dropped before exact verification.) The verification
+    step makes false positives impossible, so the output is a SUBSET of
+    the exact pair set with per-pair recall 1-(1-j^r)^b. Match
+    ``bands`` to the threshold: at the default 16×4, recall at j=0.8 is
+    ~0.996 but at j=0.4 only ~0.34; for thresholds near 0.4 use
+    bands=32 (r=2): recall ≥ 0.996 at j=0.4, ≥ 1-1e-23 at j=0.9. An
+    oracle comparing against the exact pair set is sound only when the
+    corpus has no pairs in the low-recall band around the threshold
+    (measured true for the testdata: pairs sit at j ≥ 0.9 or j ≤ 0.07).
     """
-    import pyarrow.dataset as pads
     import ray
+    import ray.data as rd
+
+    from ..functions.cogroup import SIDE_COL, pad_to_schema
 
     cands = minhash_lsh_pairs(
         ds, num_perm=num_perm, bands=bands, ngram=ngram,
@@ -684,35 +709,100 @@ def ngram_jaccard_pairs_lsh(
     _out_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                              ("n_inter", pa.int64()), ("n_union", pa.int64())])
 
-    ids: set = set()
+    id_chunks = []
     for b in cands.iter_batches(batch_format="pyarrow"):
-        ids.update(b["doc_a"].to_pylist())
-        ids.update(b["doc_b"].to_pylist())
-    if not ids:
+        id_chunks.append(as_combined(b["doc_a"]).to_numpy(zero_copy_only=False))
+        id_chunks.append(as_combined(b["doc_b"]).to_numpy(zero_copy_only=False))
+    if not id_chunks or not sum(c.size for c in id_chunks):
         # typed empty result (consistent Dataset API; note that Ray 2.49
         # drops column names when an EMPTY Dataset goes through
         # to_pandas() — consumers needing pandas should branch on
         # count() first)
-        import ray.data as rd
-
         return rd.from_arrow(_out_schema.empty_table())
-    t = pads.dataset(docs_path).to_table(
-        columns=[id_field, text_field],
-        filter=pc.field(id_field).isin(sorted(ids)))
-    gram_sets = {
-        i: frozenset(_ngram_strings(x or "", ngram))
-        for i, x in zip(t[id_field].to_pylist(), t[text_field].to_pylist())
-    }
-    ref = ray.put(gram_sets)
+    cand_ids = np.unique(np.concatenate(id_chunks).astype(np.int64))
+    ref = ray.put(cand_ids)  # sorted unique int64 — ids only, never text
+    n_shards = max(1, int(pair_shards))
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        """(id % shards, id, sorted-unique gram list) for CANDIDATE docs
+        only — membership via vectorized searchsorted on the broadcast
+        id array."""
+        keep_ids = ray.get(ref)
+        ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(keep_ids, ids).clip(max=len(keep_ids) - 1)
+        m = keep_ids[pos] == ids
+        ids = ids[m]
+        texts = as_combined(batch[text_field]).filter(pa.array(m)).to_pylist()
+        glists = [sorted(set(_ngram_strings(t or "", ngram))) for t in texts]
+        return pa.table({"_jk": pa.array(ids, type=pa.int64()),
+                         "_grams": pa.array(glists, type=_GRAMS_TYPE)})
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def attach(pairs: Dataset, key_col: str, out_col: str,
+               pair_types: dict) -> Dataset:
+        """Hash-partitioned attach: co-group pair rows with the gram
+        list of their ``key_col`` doc on ``id % n_shards`` (ONE bounded
+        shuffle, ``n_shards`` groups — never a group per doc id), then
+        a vectorized index_in + take inside the group. Both sides stay
+        Arrow end-to-end (int64 ids never touch pandas)."""
+        union_types = dict(pair_types)
+        union_types["_jk"] = pa.int64()
+        union_types["_grams"] = _GRAMS_TYPE
+        union_types["_shard"] = pa.int32()
+        pair_cols = list(pair_types)
+
+        def pad_pairs(b: pa.Table) -> pa.Table:
+            k = as_combined(b[key_col]).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cols = {c: as_combined(b[c]) for c in pair_cols}
+            cols["_jk"] = pa.array(k)
+            cols["_shard"] = pa.array((k % n_shards).astype(np.int32))
+            return pad_to_schema(cols, union_types, b.num_rows, 0)
+
+        def pad_grams(b: pa.Table) -> pa.Table:
+            k = as_combined(b["_jk"]).to_numpy(zero_copy_only=False)
+            cols = {"_jk": as_combined(b["_jk"]),
+                    "_grams": as_combined(b["_grams"]),
+                    "_shard": pa.array((k % n_shards).astype(np.int32))}
+            return pad_to_schema(cols, union_types, b.num_rows, 1)
+
+        both = pairs.map_batches(pad_pairs, batch_format="pyarrow") \
+            .union(grams.map_batches(pad_grams, batch_format="pyarrow"))
+
+        def per_shard(g: pa.Table) -> pa.Table:
+            side = g[SIDE_COL]
+            pt = g.filter(pc.equal(side, 0))
+            gt = g.filter(pc.equal(side, 1))
+            out = {c: pt[c] for c in pair_cols}
+            if gt.num_rows == 0:
+                out[out_col] = pa.nulls(pt.num_rows, _GRAMS_TYPE)
+            else:
+                idx = pc.index_in(as_combined(pt["_jk"]),
+                                  value_set=as_combined(gt["_jk"]))
+                out[out_col] = pc.take(as_combined(gt["_grams"]), idx)
+            return pa.table(out)
+
+        return both.groupby("_shard").map_groups(per_shard,
+                                                 batch_format="pyarrow")
+
+    with_a = attach(cands, "doc_a", "_ga",
+                    {"doc_a": pa.int64(), "doc_b": pa.int64()})
+    with_ab = attach(with_a, "doc_b", "_gb",
+                     {"doc_a": pa.int64(), "doc_b": pa.int64(),
+                      "_ga": _GRAMS_TYPE})
 
     def verify(batch: pa.Table) -> pa.Table:
-        gs = ray.get(ref)
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
+        a = as_combined(batch["doc_a"]).to_pylist()
+        b = as_combined(batch["doc_b"]).to_pylist()
+        ga = as_combined(batch["_ga"]).to_pylist()
+        gb = as_combined(batch["_gb"]).to_pylist()
         oa, ob, ni, nu = [], [], [], []
-        for x, y in zip(a, b):
-            sa = gs.get(x, frozenset())
-            sb = gs.get(y, frozenset())
+        for x, y, sa, sb in zip(a, b, ga, gb):
+            sa = set(sa or ())
+            sb = set(sb or ())
             inter = len(sa & sb)
             union = len(sa | sb)
             if union > 0 and inter * 1000 >= threshold_permille * union:
@@ -724,7 +814,7 @@ def ngram_jaccard_pairs_lsh(
             "n_union": pa.array(nu, type=pa.int64()),
         })
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- charset jaccard
@@ -736,35 +826,86 @@ def charset_jaccard_pairs(
     threshold: float,
     text_field: str = "text",
     id_field: str = "doc_id",
+    max_distinct: int = 4096,
 ) -> Dataset:
     """Exact character-set Jaccard pairs within co-grouped rows.
 
     Semantics mirror DuckDB's ``jaccard(s1, s2)`` (Jaccard over the SETS
-    of characters) so results are SQL-verifiable. Pairwise work is bounded
-    by the group size — choose ``group_keys`` that keep groups small
-    (e.g. (lang, source)); this is the documented partitioning assumption.
-    Returns group_keys + (doc_a, doc_b) with doc_a < doc_b.
+    of characters) so results are SQL-verifiable. Returns group_keys +
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale shape: the Jaccard depends ONLY on each doc's character SET —
+    a tiny canonical key (≤ alphabet size). So instead of all-pairs over
+    docs (O(n²) per group — corpus/|groups| at 100 TB), the pipeline
+    (1) reduces each doc to its canonical charset string inside
+    ``map_batches`` (texts never shuffle), (2) collapses to one row per
+    DISTINCT charset with its sorted id list (one groupby), and
+    (3) compares distinct charsets pairwise — O(d²) with d = distinct
+    charsets, typically ≪ docs — expanding each qualifying charset pair
+    (and each same-charset clique, Jaccard 1) to its doc pairs. The
+    expansion is proportional to OUTPUT size, which is inherent to the
+    operator. ``max_distinct`` guards the d² stage: a group with more
+    distinct charsets fails loudly instead of running quadratic work.
     """
 
-    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_field)
-        ids = g[id_field].to_numpy()
-        sets = [frozenset(t) if t else frozenset() for t in g[text_field]]
-        cols: dict[str, list] = {k: [] for k in group_keys}
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
+    def add_cs(batch: pa.Table) -> pa.Table:
+        texts = as_combined(batch[text_field]).to_pylist()
+        cs = ["".join(sorted(set(t))) if t else "" for t in texts]
+        cols = {k: as_combined(batch[k]) for k in group_keys}
+        cols[id_field] = as_combined(batch[id_field])
+        cols["_cs"] = pa.array(cs, type=pa.large_string())
+        return pa.table(cols)
+
+    slim = ds.select_columns(group_keys + [id_field, text_field]) \
+        .map_batches(add_cs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def collect_ids(g: pa.Table) -> pa.Table:
+        ids = np.sort(as_combined(g[id_field])
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        cols = {k: g[k].slice(0, 1) for k in group_keys}
+        cols["_cs"] = g["_cs"].slice(0, 1)
+        cols["_ids"] = pa.array([ids], type=pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    distinct = slim.groupby(group_keys + ["_cs"]).map_groups(
+        collect_ids, batch_format="pyarrow")
+
+    def pairs_in_group(g: pa.Table) -> pa.Table:
+        css = g["_cs"].to_pylist()
+        d = len(css)
+        if d > max_distinct:
+            raise ValueError(
+                f"charset_jaccard_pairs: group {tuple(g[k][0].as_py() for k in group_keys)!r} "
+                f"has {d} distinct charsets (> max_distinct={max_distinct}); "
+                "the d² charset-pair stage would be quadratic — raise "
+                "max_distinct explicitly or pre-partition the group")
+        sets = [frozenset(c) for c in css]
+        idlists = [np.asarray(x, dtype=np.int64)
+                   for x in g["_ids"].to_pylist()]
+        out_a, out_b = [], []
+        for i in range(d):
+            # same-charset clique: Jaccard 1 (or 0 for the empty set)
+            sim_ii = 1.0 if sets[i] else 0.0
+            if sim_ii >= threshold and len(idlists[i]) > 1:
+                ii, jj = np.triu_indices(len(idlists[i]), 1)
+                out_a.append(idlists[i][ii])
+                out_b.append(idlists[i][jj])
+            for j in range(i + 1, d):
                 inter = len(sets[i] & sets[j])
                 union = len(sets[i] | sets[j])
                 sim = inter / union if union else 0.0
                 if sim >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    for k in group_keys:
-                        cols[k].append(g[k].iloc[0])
-        cols["doc_a"] = a_out
-        cols["doc_b"] = b_out
-        return pd.DataFrame(cols, columns=group_keys + ["doc_a", "doc_b"])
+                    x = np.repeat(idlists[i], len(idlists[j]))
+                    y = np.tile(idlists[j], len(idlists[i]))
+                    out_a.append(np.minimum(x, y))
+                    out_b.append(np.maximum(x, y))
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        cols = {k: pa.array([g[k][0].as_py()] * len(a),
+                            type=g.schema.field(k).type) for k in group_keys}
+        cols["doc_a"] = pa.array(a, type=pa.int64())
+        cols["doc_b"] = pa.array(b, type=pa.int64())
+        return pa.table(cols)
 
-    return ds.select_columns(group_keys + [id_field, text_field]) \
-        .groupby(group_keys).map_groups(pairs_in_group, batch_format="pandas")
+    return distinct.groupby(group_keys).map_groups(
+        pairs_in_group, batch_format="pyarrow")

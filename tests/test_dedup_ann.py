@@ -253,7 +253,7 @@ def test_ngram_jaccard_lsh_verified(docs_with_dups, tmp_path):
         "text": pa.array(texts)}), path)
     out = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
            for r in ngram_jaccard_pairs_lsh(
-               ds, path, threshold_permille=800).take_all()}
+               ds, threshold_permille=800).take_all()}
     # exact dups: identical 28-trigram sets
     assert out[(0, 60)] == (28, 28)
     assert out[(1, 61)] == (28, 28)
@@ -430,7 +430,7 @@ def test_empty_and_null_docs_never_pair(ray_session, tmp_path):
                    "text": pa.array(["alpha beta gamma", "one two three"])})
     path = str(tmp_path / "d.parquet")
     pq.write_table(t2, path)
-    out = ngram_jaccard_pairs_lsh(rd.from_arrow(t2), path)
+    out = ngram_jaccard_pairs_lsh(rd.from_arrow(t2))
     assert out.schema().names == ["doc_a", "doc_b", "n_inter", "n_union"]
     assert out.count() == 0
 
@@ -486,3 +486,45 @@ def test_simhash_batch_equals_per_row(texts):
     for i, txt in enumerate(texts):
         h, off = _tokenize_hashes(pa.array([txt]))
         assert batch[i] == SimHasher.simhash64(h), (i, txt)
+
+
+def test_charset_jaccard_distinct_path_matches_bruteforce(ray_session):
+    """The distinct-charset rework must equal brute-force all-pairs
+    char-set Jaccard, including same-charset cliques, cross-charset
+    qualifying pairs, empty texts (never pair), and grouping keys."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.dedup import charset_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    alphabet = "abcdef"
+    texts, langs = [], []
+    for i in range(120):
+        k = rng.integers(0, 5)
+        # many repeated charsets → cliques; some empties
+        texts.append("".join(rng.choice(list(alphabet), size=k)) if k else "")
+        langs.append(str(rng.choice(["en", "fr"])))
+    t = pa.table({"doc_id": pa.array(range(120), type=pa.int64()),
+                  "lang": pa.array(langs), "text": pa.array(texts)})
+    thr = 0.5
+    got = sorted((r["doc_a"], r["doc_b"]) for r in charset_jaccard_pairs(
+        rd.from_arrow(t), ["lang"], threshold=thr).take_all())
+    exp = []
+    for i, j in itertools.combinations(range(120), 2):
+        if langs[i] != langs[j]:
+            continue
+        a, b = set(texts[i]), set(texts[j])
+        u = len(a | b)
+        sim = len(a & b) / u if u else 0.0
+        if sim >= thr:
+            exp.append((i, j))
+    assert got == sorted(exp) and len(exp) > 10
+
+    # the d² guard fails loudly instead of running quadratic work
+    with pytest.raises(Exception):
+        charset_jaccard_pairs(rd.from_arrow(t), ["lang"], threshold=thr,
+                              max_distinct=2).materialize()

@@ -241,6 +241,47 @@ def test_asof_join_null_timestamps_match_nothing(ray_session):
     assert got == {"ok": (8, "s8")}
 
 
+def test_asof_join_salted_matches_unsalted(ray_session):
+    """The two-level salted as-of join must be exact: same matches as
+    the single-group path, including left rows whose match lives many
+    (possibly right-empty) chunks earlier, tied right times, and the
+    hot-key-restricted mode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.asof import asof_join_backward
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 400, 60
+    lk = rng.choice(["a", "b", "hot"], size=n_l, p=[0.2, 0.2, 0.6])
+    lt = rng.integers(0, 10_000, n_l, dtype=np.int64)
+    rk = rng.choice(["a", "b", "hot"], size=n_r)
+    # cluster right times low so many later chunks have no right rows,
+    # and duplicate some times to exercise ties
+    rt_ = rng.integers(0, 4_000, n_r, dtype=np.int64)
+    rt_[10:20] = rt_[0:10]
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk), "t": pa.array(lt),
+        "lid": pa.array(np.arange(n_l), type=pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(rk), "t": pa.array(rt_),
+        "state": pa.array([f"s{i}" for i in range(n_r)])}))
+
+    def collect(out):
+        # compare matched TIME per left row (tie-safe, see tie semantics)
+        return {r["lid"]: r["t_r"] for r in out.take_all()}
+
+    base = collect(asof_join_backward(left, right, key="k", on="t",
+                                      right_values=["state"]))
+    assert 0 < len(base) < n_l  # some match, some drop — the test bites
+    for kwargs in ({"salt_chunk": 500}, {"salt_chunk": 1},
+                   {"salt_chunk": 500, "hot": {"hot"}}):
+        got = collect(asof_join_backward(left, right, key="k", on="t",
+                                         right_values=["state"], **kwargs))
+        assert got == base, f"salted mismatch for {kwargs}"
+
+
 def test_range_join_buckets(ray_session):
     """Bucketed range join equals the brute-force containment join,
     including ranges spanning multiple buckets and empty buckets."""
