@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_logagent_ray.pipelines.queries import ORACLE_SQL
+    # only oracles for driver-exposed queries (ORACLE_SQL also carries
+    # entries for the EXTRA_QUERIES variants pytest runs locally)
+    from go_logagent_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
-    return dict(ORACLE_SQL)
+    return {k: v for k, v in ORACLE_SQL.items() if k in QUERIES}

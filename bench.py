@@ -144,11 +144,14 @@ def bench_queries() -> dict[str, float]:
         "ngram_jaccard_docs",     # LSH-prefiltered exact near-dup (r2)
         "asof_join_events",       # as-of join custom operator (r2)
         "range_join_events",      # bucketed range join custom op (r2)
+        "asof_join_salted",       # two-level salted as-of join (r3)
+        "jaccard_pairs_docs",     # distinct-charset exact Jaccard (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:
         t0 = time.perf_counter()
-        res = Q.QUERIES[name](SF_DIR)
+        fn = Q.QUERIES.get(name) or Q.EXTRA_QUERIES[name]
+        res = fn(SF_DIR)
         if hasattr(res, "count"):
             res.count()  # consume the lazy Dataset
         out[name] = round(time.perf_counter() - t0, 3)

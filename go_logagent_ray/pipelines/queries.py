@@ -1015,6 +1015,64 @@ FROM lines
 """)
 
 
+_TCP_LINES = [
+    "INFO boot id=1", "ERROR crash id=2", "WARN disk id=3",
+    "INFO done id=4", "ERROR again id=-5", "TRACE deep id=6",
+    "WARN fan id=7",
+]
+
+
+def q_tcp_source_counts(sf_dir: str):
+    """S3: the tcp input — fixed lines pushed through a real loopback
+    socket into ``TcpLineSource`` (two connections; the last line sent
+    WITHOUT a trailing newline to exercise the flush-on-close path),
+    then the same grok chain and a grouped aggregate. sf_dir is unused
+    by design; the SQL oracle carries the same literal VALUES."""
+    import socket
+    import time
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.socketline import TcpLineSource
+    from ..stages.grok import GrokParser
+
+    src = TcpLineSource()
+    try:
+        with socket.create_connection((src.host, src.port), timeout=5) as c:
+            c.sendall(("\n".join(_TCP_LINES[:2]) + "\n").encode())
+        with socket.create_connection((src.host, src.port), timeout=5) as c:
+            # no trailing newline — the last line flushes on close
+            c.sendall("\n".join(_TCP_LINES[2:]).encode())
+        got, deadline = [], time.monotonic() + 10.0
+        while sum(t.num_rows for t in got) < len(_TCP_LINES):
+            if time.monotonic() > deadline:
+                raise TimeoutError("tcp source did not deliver all lines")
+            t = src.poll_batch(timeout_s=0.5)
+            if t is not None:
+                got.append(t)
+        table = pa.concat_tables(got)
+    finally:
+        src.close()
+    ds = rd.from_arrow(table)
+    parsed = ds.map_batches(
+        GrokParser("%{LOGLEVEL:level} %{WORD:msg} id=%{INT:id:int}"),
+        batch_format="pyarrow")
+    return parsed.groupby("level").aggregate(
+        Sum("id", alias_name="sum_id"), Count(alias_name="n"))
+
+
+SQL_TCP_SOURCE_COUNTS = (
+    "WITH lines(text) AS (VALUES "
+    + ", ".join(f"('{line}')" for line in _TCP_LINES)
+    + r""")
+SELECT regexp_extract(text, '(INFO|WARN|ERROR|TRACE)', 1) AS level,
+       SUM(CAST(regexp_extract(text, 'id=([+-]?\d+)', 1) AS BIGINT)) AS sum_id,
+       COUNT(*) AS n
+FROM lines GROUP BY 1
+""")
+
+
 def q_sorted_turns(sf_dir: str):
     """O1 + the per-turn TEXT EQUALITY invariant: first 100 transcript
     rows under the stable (conv_id, turn_idx) verification sort, text
@@ -1492,7 +1550,27 @@ FROM range(4) t(r)
 
 # ================================================================ registry
 
+# EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
+# 50 in registry order, so the registry IS the driver surface. Ordered
+# newest/least-proven first (the round-2 driver file cut off at 50 and
+# the five newest operators went unverified). One entry per operator;
+# redundant secondary variants live in EXTRA_QUERIES below (pytest-
+# covered, not driver-run).
 QUERIES = {
+    # --- round-3 new / previously driver-unverified ---
+    "asof_join_events": q_asof_join_events,
+    "asof_join_salted": q_asof_join_salted,
+    "range_join_events": q_range_join_events,
+    "sliding_window_counts": q_sliding_window_counts,
+    "dedup_broadcast_docs": q_dedup_broadcast_docs,
+    "profile_events": q_profile_events,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "tcp_source_counts": q_tcp_source_counts,
+    # --- reworked this round (re-prove under the driver) ---
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
+    "jaccard_pairs_docs": q_jaccard_pairs_docs,
+    "minhash_pairs_docs": q_minhash_pairs_docs,
+    # --- stable operator surface ---
     "grok_parse_events": q_grok_parse_events,
     "json_sum_events": q_json_sum_events,
     "route_events": q_route_events,
@@ -1502,31 +1580,20 @@ QUERIES = {
     "union_events": q_union_events,
     "flagship_sink_counts": q_flagship_sink_counts,
     "flagship_conv_counts": q_flagship_conv_counts,
-    "word_extract_docs": q_word_extract_docs,
     "enrich_docs": q_enrich_docs,
     "token_stats_docs": q_token_stats_docs,
     "dedup_exact_docs": q_dedup_exact_docs,
     "distinct_docs": q_distinct_docs,
-    "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
-    "minhash_pairs_docs": q_minhash_pairs_docs,
-    "simhash_pairs_docs": q_simhash_pairs_docs,
-    "conv_gap_stats": q_conv_gap_stats,
-    "session_windows": q_session_windows,
     "embedding_neardup": q_embedding_neardup,
-    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
-    "ann_lsh_approx": q_ann_lsh_approx,
     "ann_ivf": q_ann_ivf,
-    "ann_ivf_approx": q_ann_ivf_approx,
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
-    "broadcast_join": q_broadcast_join,
     "median_value_events": q_median_value_events,
     "hash_join": q_hash_join,
-    "distinct_event_types": q_distinct_event_types,
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
     "parquet_sink_counts": q_parquet_sink_counts,
     "json_sink_rows": q_json_sink_rows,
@@ -1543,12 +1610,23 @@ QUERIES = {
     "media_features_docs": q_media_features_docs,
     "media_frames_docs": q_media_frames_docs,
     "split_sample_docs": q_split_sample_docs,
-    "asof_join_events": q_asof_join_events,
-    "range_join_events": q_range_join_events,
-    "sliding_window_counts": q_sliding_window_counts,
-    "dedup_broadcast_docs": q_dedup_broadcast_docs,
-    "profile_events": q_profile_events,
-    "asof_join_salted": q_asof_join_salted,
+}
+
+# Redundant/secondary variants retired from the driver window (each
+# operator keeps a driver-verified entry above: unsalted windows ⊂
+# salted; word_extract/apache/multifield all exercise grok;
+# distinct_event_types ⊂ distinct_docs; broadcast_join ⊂ enrich_docs;
+# the *_approx ANN modes are recall-checked in pytest while the exact
+# full-probe modes above are hash-verified). Still run by the local
+# pytest oracle gate.
+EXTRA_QUERIES = {
+    "conv_gap_stats": q_conv_gap_stats,
+    "session_windows": q_session_windows,
+    "word_extract_docs": q_word_extract_docs,
+    "distinct_event_types": q_distinct_event_types,
+    "broadcast_join": q_broadcast_join,
+    "ann_lsh_approx": q_ann_lsh_approx,
+    "ann_ivf_approx": q_ann_ivf_approx,
 }
 
 ORACLE_SQL = {
@@ -1589,6 +1667,7 @@ ORACLE_SQL = {
     "json_sink_rows": SQL_JSON_SINK_ROWS,
     "config_pipeline_counts": SQL_CONFIG_PIPELINE_COUNTS,
     "inline_source_counts": SQL_INLINE_SOURCE_COUNTS,
+    "tcp_source_counts": SQL_TCP_SOURCE_COUNTS,
     "sorted_turns": SQL_SORTED_TURNS,
     "conv_gap_stats_salted": SQL_CONV_GAP_STATS,  # salting must not change stats
     "session_windows_salted": SQL_SESSION_WINDOWS,  # ditto for sessions

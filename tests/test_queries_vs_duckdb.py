@@ -45,18 +45,30 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def _query_names():
     import sys
     sys.path.insert(0, "/root/repo")
-    from go_logagent_ray.pipelines.queries import ORACLE_SQL, QUERIES
-    return sorted(QUERIES), ORACLE_SQL
+    from go_logagent_ray.pipelines.queries import (EXTRA_QUERIES, ORACLE_SQL,
+                                                   QUERIES)
+    return sorted(QUERIES) + sorted(EXTRA_QUERIES), ORACLE_SQL
 
 
 NAMES, _ = _query_names()
 
 
+def test_driver_window_is_exactly_50():
+    """The driver runs the first 50 queries() entries; the registry must
+    expose exactly 50 so every operator lands in the CORRECTNESS window
+    (round-2 lesson: entries 51+ silently go unverified)."""
+    from go_logagent_ray.pipelines.queries import EXTRA_QUERIES, QUERIES
+
+    assert len(QUERIES) == 50
+    assert not set(QUERIES) & set(EXTRA_QUERIES)
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(name, ray_session, ddb):
-    from go_logagent_ray.pipelines.queries import ORACLE_SQL, QUERIES
+    from go_logagent_ray.pipelines.queries import EXTRA_QUERIES, ORACLE_SQL, QUERIES
 
-    got = _normalize(_to_pandas(QUERIES[name](SF_DIR)))
+    fn = QUERIES.get(name) or EXTRA_QUERIES[name]
+    got = _normalize(_to_pandas(fn(SF_DIR)))
     if name not in ORACLE_SQL:
         # rows-only check, like the driver's weaker gate
         assert got is not None
