@@ -1548,6 +1548,42 @@ FROM range(4) t(r)
 """
 
 
+def q_dedup_cluster_docs(sf_dir: str):
+    """Duplicate-cluster election — the final step of fuzzy dedup:
+    charset-Jaccard near-dup pairs → distributed connected components
+    (alternating large-star/small-star, `stages/cluster.py`) → one
+    (doc_id, rep_id) row per doc in any pair, rep = min doc id of its
+    duplicate cluster.  The SQL oracle recomputes components with a
+    recursive CTE over the same pair relation."""
+    from ..stages.cluster import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = charset_jaccard_pairs(ds, ["lang", "source"], threshold=0.95)
+    cc = connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    return cc.rename_columns({"node": "doc_id", "rep": "rep_id"})
+
+
+SQL_DEDUP_CLUSTER_DOCS = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE jaccard(a.text, b.text) >= 0.95
+), nodes AS (
+  SELECT doc_a AS node FROM pairs UNION SELECT doc_b AS node FROM pairs
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1558,6 +1594,7 @@ FROM range(4) t(r)
 # covered, not driver-run).
 QUERIES = {
     # --- round-3 new / previously driver-unverified ---
+    "dedup_cluster_docs": q_dedup_cluster_docs,
     "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
@@ -1579,7 +1616,6 @@ QUERIES = {
     "interpolate_events": q_interpolate_events,
     "union_events": q_union_events,
     "flagship_sink_counts": q_flagship_sink_counts,
-    "flagship_conv_counts": q_flagship_conv_counts,
     "enrich_docs": q_enrich_docs,
     "token_stats_docs": q_token_stats_docs,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -1620,6 +1656,7 @@ QUERIES = {
 # full-probe modes above are hash-verified). Still run by the local
 # pytest oracle gate.
 EXTRA_QUERIES = {
+    "flagship_conv_counts": q_flagship_conv_counts,
     "conv_gap_stats": q_conv_gap_stats,
     "session_windows": q_session_windows,
     "word_extract_docs": q_word_extract_docs,
@@ -1630,6 +1667,7 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dedup_cluster_docs": SQL_DEDUP_CLUSTER_DOCS,
     "grok_parse_events": SQL_GROK_PARSE_EVENTS,
     "json_sum_events": SQL_JSON_SUM_EVENTS,
     "route_events": SQL_ROUTE_EVENTS,
