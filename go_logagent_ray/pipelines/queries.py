@@ -1584,6 +1584,132 @@ SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
 """
 
 
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: a deterministic stand-in benchmark
+    blocklist (first 8-word gram of every doc_id % 97 == 0 doc) is
+    broadcast once; each doc reports how many blocklist grams it
+    contains (0 = clean).  `stages/decontaminate.py` — blocklist via
+    ray.put, K vectorized match_substring sweeps per batch."""
+    from ..stages.decontaminate import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(ds)
+
+
+SQL_DECONTAMINATE_DOCS = """
+WITH bench AS (
+  SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                                  ' ') AS gram
+  FROM documents
+  WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 8
+)
+SELECT d.doc_id,
+       (SELECT COUNT(*) FROM bench b WHERE contains(d.text, b.gram))
+         AS n_hits
+FROM documents d
+"""
+
+
+def q_chunk_docs(sf_dir: str):
+    """Document chunking: explode each doc into 32-word windows at
+    stride 24 (overlapping; last chunk short) — `stages/chunk.py`, a
+    pure flat-map with the loop only over chunk index."""
+    from ..stages.chunk import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, size=32, stride=24)
+
+
+SQL_CHUNK_DOCS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST((g - 1) / 24 AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(words, g, g + 31)) AS BIGINT) AS n_words,
+       array_to_string(list_slice(words, g, g + 31), ' ') AS chunk_text
+FROM (SELECT doc_id, words,
+             unnest(range(1, CAST(n AS BIGINT) + 1, 24)) AS g
+      FROM w)
+"""
+
+
+def q_doc_freq_terms(sf_dir: str):
+    """TF-IDF building block: document frequency per term (distinct
+    docs containing the term), top 50 by df with deterministic
+    tie-break.  Per-batch polars split → per-doc unique → local term
+    counts (combiner), so only compact (term, partial_df) rows shuffle;
+    the final sort runs on the tiny aggregated table."""
+    import polars as pl
+
+    from ..stages.aggregate import grouped_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        out = (df.with_columns(
+                   pl.col("text").str.split(" ").list.unique().alias("_t"))
+               .select(pl.col("_t"))
+               .explode("_t")
+               .group_by("_t").len())
+        return pa.table({
+            "term": out["_t"].to_arrow().cast(pa.string()),
+            "df": out["len"].to_arrow().cast(pa.int64()),
+        })
+
+    partials = ds.map_batches(partial_df, batch_format="pyarrow")
+    total = grouped_sum(partials, ["term"], "df", alias="df")
+    return total.sort(["df", "term"], descending=[True, False]).limit(50)
+
+
+SQL_DOC_FREQ_TERMS = """
+SELECT term, COUNT(*) AS df
+FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT 50
+"""
+
+
+def q_pack_docs(sf_dir: str):
+    """Sequence packing: greedy token-budget (256) bin assignment in
+    doc_id order within 64-doc pack groups (`stages/pack.py`).  Only
+    compact (doc_id, group, tok) rows shuffle; the sequential greedy
+    loop is bounded by the group width.  The SQL oracle replays the
+    same greedy recurrence with a recursive CTE."""
+    from ..stages.pack import pack_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_documents(ds, budget=256, group_width=64)
+
+
+SQL_PACK_DOCS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id // 64 AS pack_group,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+           AS rn
+  FROM documents
+), packed AS (
+  SELECT pack_group, rn, doc_id, tok,
+         CAST(0 AS BIGINT) AS bin_idx, tok AS bin_tok
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.pack_group, t.rn, t.doc_id, t.tok,
+         CASE WHEN p.bin_tok + t.tok > 256 THEN p.bin_idx + 1
+              ELSE p.bin_idx END,
+         CASE WHEN p.bin_tok + t.tok > 256 THEN t.tok
+              ELSE p.bin_tok + t.tok END
+  FROM packed p JOIN t ON t.pack_group = p.pack_group AND t.rn = p.rn + 1
+)
+SELECT doc_id, pack_group, bin_idx, tok FROM packed
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1595,6 +1721,10 @@ SELECT node AS doc_id, MIN(lbl) AS rep_id FROM reach GROUP BY node
 QUERIES = {
     # --- round-3 new / previously driver-unverified ---
     "dedup_cluster_docs": q_dedup_cluster_docs,
+    "decontaminate_docs": q_decontaminate_docs,
+    "chunk_docs": q_chunk_docs,
+    "doc_freq_terms": q_doc_freq_terms,
+    "pack_docs": q_pack_docs,
     "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
@@ -1611,7 +1741,6 @@ QUERIES = {
     "grok_parse_events": q_grok_parse_events,
     "json_sum_events": q_json_sum_events,
     "route_events": q_route_events,
-    "hourly_counts_events": q_hourly_counts_events,
     "filter_events": q_filter_events,
     "interpolate_events": q_interpolate_events,
     "union_events": q_union_events,
@@ -1638,25 +1767,29 @@ QUERIES = {
     "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
     "session_windows_salted": q_session_windows_salted,
-    "hll_distinct_events": q_hll_distinct_events,
-    "apache_log_parse": q_apache_log_parse,
     "grok_multifield_events": q_grok_multifield_events,
     "incremental_counts": q_incremental_counts,
     "quality_stats_docs": q_quality_stats_docs,
-    "media_features_docs": q_media_features_docs,
     "media_frames_docs": q_media_frames_docs,
     "split_sample_docs": q_split_sample_docs,
 }
 
 # Redundant/secondary variants retired from the driver window (each
 # operator keeps a driver-verified entry above: unsalted windows ⊂
-# salted; word_extract/apache/multifield all exercise grok;
-# distinct_event_types ⊂ distinct_docs; broadcast_join ⊂ enrich_docs;
-# the *_approx ANN modes are recall-checked in pytest while the exact
-# full-probe modes above are hash-verified). Still run by the local
-# pytest oracle gate.
+# salted; word_extract/apache/multifield all exercise grok
+# (grok_parse + multifield stay in-window); flagship_conv/hourly ⊂
+# route_events/flagship_sink_counts for A1; distinct_event_types ⊂
+# distinct_docs; broadcast_join ⊂ enrich_docs; the *_approx ANN modes
+# are recall-checked in pytest while the exact full-probe modes above
+# are hash-verified; hll_distinct/media_features are rows-only entries
+# whose accuracy lives in pytest). Still run by the local pytest
+# oracle gate.
 EXTRA_QUERIES = {
     "flagship_conv_counts": q_flagship_conv_counts,
+    "hourly_counts_events": q_hourly_counts_events,
+    "hll_distinct_events": q_hll_distinct_events,
+    "apache_log_parse": q_apache_log_parse,
+    "media_features_docs": q_media_features_docs,
     "conv_gap_stats": q_conv_gap_stats,
     "session_windows": q_session_windows,
     "word_extract_docs": q_word_extract_docs,
@@ -1668,6 +1801,10 @@ EXTRA_QUERIES = {
 
 ORACLE_SQL = {
     "dedup_cluster_docs": SQL_DEDUP_CLUSTER_DOCS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "doc_freq_terms": SQL_DOC_FREQ_TERMS,
+    "pack_docs": SQL_PACK_DOCS,
     "grok_parse_events": SQL_GROK_PARSE_EVENTS,
     "json_sum_events": SQL_JSON_SUM_EVENTS,
     "route_events": SQL_ROUTE_EVENTS,

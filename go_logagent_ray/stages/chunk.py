@@ -1,0 +1,73 @@
+"""Document chunking: explode each document into fixed-size word
+windows (size W, stride S) — the preprocessing step that turns raw
+documents into training-sequence-sized pieces.
+
+Not in the reference; first-class per the training-data mandate.
+
+Scale shape: a pure per-batch flat-map — no shuffle, no state.  The
+only loop is over the chunk INDEX (bounded by max_words / stride); each
+iteration is a polars list-slice + join over the whole batch, so work
+is vectorized across documents.  Output rows are (doc_id, chunk_idx,
+n_words, chunk_text); a 100 TB corpus streams through with row-count
+amplification ~len/stride and no driver involvement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE, text_field: str = "text",
+                    id_field: str = "doc_id") -> Dataset:
+    """Explode docs into word windows: chunk k covers words
+    [k*stride, k*stride + size) (0-based), for k while k*stride <
+    n_words.  Every document emits at least one chunk; with
+    stride < size the trailing chunks overlap and the last may be
+    short."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_field, text_field]))
+        df = df.with_columns(
+            pl.col(text_field).str.split(" ").alias("_w"))
+        df = df.with_columns(pl.col("_w").list.len().alias("_n"))
+        n = df["_n"].to_numpy()
+        if len(n) == 0:
+            return pa.table({id_field: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        max_chunks = int((n.max() - 1) // stride + 1)
+        ids_out, idx_out, nw_out, txt_out = [], [], [], []
+        for k in range(max_chunks):
+            sel = n > k * stride
+            if not sel.any():
+                break
+            sub = df.filter(pl.Series(sel))
+            piece = sub.select(
+                pl.col(id_field),
+                pl.col("_w").list.slice(k * stride, size).alias("_c"),
+            ).with_columns(
+                pl.col("_c").list.len().alias("_cn"),
+                pl.col("_c").list.join(" ").alias("_ct"),
+            )
+            ids_out.append(piece[id_field].to_numpy())
+            idx_out.append(np.full(len(piece), k, dtype=np.int64))
+            nw_out.append(piece["_cn"].to_numpy().astype(np.int64))
+            txt_out.append(piece["_ct"])
+        return pa.table({
+            id_field: np.concatenate(ids_out),
+            "chunk_idx": np.concatenate(idx_out),
+            "n_words": np.concatenate(nw_out),
+            "chunk_text": pl.concat(txt_out).to_arrow(),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
