@@ -1710,6 +1710,84 @@ SELECT doc_id, pack_group, bin_idx, tok FROM packed
 """
 
 
+def q_pii_redact_docs(sf_dir: str):
+    """PII redaction over documents ∪ a deterministic inline PII corpus
+    (testdata has no PII, so the inline rows exercise the match path
+    while the corpus exercises the at-volume no-match path).  RE2 on
+    both sides; oracle SQL generated from the same constants
+    (`functions/pii.py`)."""
+    import ray as _ray
+
+    from ..functions.pii import PII_BASE, PII_LINES, redact_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"row_id": batch.column("doc_id"),
+                         "text": batch.column("text")})
+
+    corpus = docs.map_batches(to_rows, batch_format="pyarrow")
+    inline = _ray.data.from_arrow(pa.table({
+        "row_id": pa.array([PII_BASE + i for i in range(len(PII_LINES))],
+                           pa.int64()),
+        "text": pa.array(PII_LINES, pa.string()),
+    }))
+    return redact_pii(corpus.union(inline))
+
+
+def _sql_pii_redact_docs() -> str:
+    from ..functions.pii import pii_oracle_sql
+
+    return pii_oracle_sql()
+
+
+SQL_PII_REDACT_DOCS = _sql_pii_redact_docs()
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Stratified (per-group-rate) deterministic sampling: keep 50% of
+    'en', 10% of 'zh', 25% of other langs by modulo bucketing; returns
+    kept-count per lang.  `stages/sample.py::stratified_sample` — pure
+    per-row predicate, no shuffle."""
+    from ..stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    kept = stratified_sample(ds, "doc_id", "lang",
+                             rates={"en": 50, "zh": 10},
+                             default_percent=25, method="modulo")
+    return counts_by(kept, ["lang"], alias="n")
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+SELECT lang, COUNT(*) AS n FROM documents
+WHERE doc_id % 100 < CASE lang WHEN 'en' THEN 50
+                               WHEN 'zh' THEN 10 ELSE 25 END
+GROUP BY lang
+"""
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed quantized Lloyd k-means (k=8, 3 iterations,
+    deterministic min-id init) over the embeddings table; returns the
+    final (vec_id, cluster) assignment.  `stages/kmeans.py` — centroids
+    broadcast per iteration, per-batch partial sums, corpus never
+    shuffles; oracle SQL is GENERATED unrolled from the same
+    constants."""
+    from ..stages.kmeans import kmeans_fit_predict
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fit_predict(ds, k=8, iters=3)
+
+
+def _sql_kmeans_embeddings() -> str:
+    from ..stages.kmeans import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iters=3)
+
+
+SQL_KMEANS_EMBEDDINGS = _sql_kmeans_embeddings()
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1725,6 +1803,9 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "doc_freq_terms": q_doc_freq_terms,
     "pack_docs": q_pack_docs,
+    "pii_redact_docs": q_pii_redact_docs,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
@@ -1748,12 +1829,10 @@ QUERIES = {
     "enrich_docs": q_enrich_docs,
     "token_stats_docs": q_token_stats_docs,
     "dedup_exact_docs": q_dedup_exact_docs,
-    "distinct_docs": q_distinct_docs,
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
@@ -1767,7 +1846,6 @@ QUERIES = {
     "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
     "session_windows_salted": q_session_windows_salted,
-    "grok_multifield_events": q_grok_multifield_events,
     "incremental_counts": q_incremental_counts,
     "quality_stats_docs": q_quality_stats_docs,
     "media_frames_docs": q_media_frames_docs,
@@ -1782,10 +1860,16 @@ QUERIES = {
 # distinct_docs; broadcast_join ⊂ enrich_docs; the *_approx ANN modes
 # are recall-checked in pytest while the exact full-probe modes above
 # are hash-verified; hll_distinct/media_features are rows-only entries
-# whose accuracy lives in pytest). Still run by the local pytest
-# oracle gate.
+# whose accuracy lives in pytest; distinct_docs ⊂ the dedup family
+# (dedup_exact/broadcast/cluster all in-window); ann_lsh and
+# grok_multifield passed the r02 driver gate and cede their slots to
+# unproven round-3 operators). Still run by the local pytest oracle
+# gate.
 EXTRA_QUERIES = {
     "flagship_conv_counts": q_flagship_conv_counts,
+    "distinct_docs": q_distinct_docs,
+    "ann_lsh": q_ann_lsh,
+    "grok_multifield_events": q_grok_multifield_events,
     "hourly_counts_events": q_hourly_counts_events,
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
@@ -1805,6 +1889,9 @@ ORACLE_SQL = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "doc_freq_terms": SQL_DOC_FREQ_TERMS,
     "pack_docs": SQL_PACK_DOCS,
+    "pii_redact_docs": SQL_PII_REDACT_DOCS,
+    "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
+    "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "grok_parse_events": SQL_GROK_PARSE_EVENTS,
     "json_sum_events": SQL_JSON_SUM_EVENTS,
     "route_events": SQL_ROUTE_EVENTS,

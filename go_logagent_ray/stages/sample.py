@@ -82,3 +82,28 @@ def sample_fraction(ds: Dataset, key: str, percent: int,
         return batch.filter(pa.array(b < percent))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds: Dataset, key: str, group: str,
+                      rates: dict[str, int], default_percent: int = 0,
+                      method: str = "hash") -> Dataset:
+    """Per-group sampling rates (corpus rebalancing: e.g. keep 50% of
+    'en', 10% of 'zh', 25% of everything else).  Same deterministic
+    bucketing as ``sample_fraction`` but the keep-threshold varies per
+    row by its ``group`` value — still a pure per-row predicate, no
+    shuffle, reproducible under any partitioning."""
+    for g, pct in rates.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {g!r} must be in [0, 100]")
+    if not 0 <= default_percent <= 100:
+        raise ValueError("default_percent must be in [0, 100]")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = _buckets(as_combined(batch[key]), method)
+        groups = as_combined(batch[group]).to_pylist()
+        thresh = np.fromiter(
+            (rates.get(g, default_percent) for g in groups),
+            dtype=np.int64, count=len(groups))
+        return batch.filter(pa.array(b < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,85 @@
+"""Planted-cluster k-means recovery, stratified-sample rates, and PII
+redaction semantics (query-level SQL equivalence lives in
+test_queries_vs_duckdb.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from go_logagent_ray.functions.pii import PII_LINES, redact_pii
+from go_logagent_ray.stages.kmeans import kmeans_fit_predict
+from go_logagent_ray.stages.sample import stratified_sample
+
+
+def test_kmeans_recovers_planted_clusters():
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0] * 8, [10.0] * 8, [-10.0] * 8])
+    vecs, labels = [], []
+    for i in range(300):
+        c = i % 3
+        vecs.append(centers[c] + rng.normal(0, 0.1, 8))
+        labels.append(c)
+    t = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = kmeans_fit_predict(ray.data.from_arrow(t), k=3,
+                             iters=5).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    # clusters must be pure: every planted group maps to one cluster id
+    for c in range(3):
+        got = set(out.cluster[np.array(labels) == c])
+        assert len(got) == 1
+    assert set(out.cluster) == {0, 1, 2}
+
+
+def test_kmeans_deterministic_across_runs():
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "vec_id": pa.array(range(64), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, rng.normal(0, 1, 4))) for _ in range(64)],
+            pa.list_(pa.float32())),
+    })
+    a = kmeans_fit_predict(ray.data.from_arrow(t), k=4, iters=3).to_pandas()
+    b = kmeans_fit_predict(ray.data.from_arrow(t), k=4, iters=3).to_pandas()
+    assert a.sort_values("vec_id").cluster.tolist() == \
+        b.sort_values("vec_id").cluster.tolist()
+
+
+def test_stratified_sample_rates_and_determinism():
+    t = pa.table({
+        "doc_id": pa.array(range(1000), pa.int64()),
+        "lang": pa.array(["en" if i % 2 == 0 else "zh"
+                          for i in range(1000)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    kept = stratified_sample(ds, "doc_id", "lang",
+                             rates={"en": 50}, default_percent=10,
+                             method="modulo").to_pandas()
+    en = kept[kept.lang == "en"]
+    zh = kept[kept.lang == "zh"]
+    # modulo keying on dense ids: exact rates
+    assert len(en) == 250 and len(zh) == 50
+    assert all(i % 100 < 50 for i in en.doc_id)
+    assert all(i % 100 < 10 for i in zh.doc_id)
+
+
+def test_pii_redaction_counts_and_masks():
+    t = pa.table({
+        "row_id": pa.array(range(len(PII_LINES)), pa.int64()),
+        "text": pa.array(PII_LINES, pa.string()),
+    })
+    out = redact_pii(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("row_id").reset_index(drop=True)
+    assert out.n_email[0] == 2 and "<EMAIL>" in out.redacted[0]
+    assert out.n_phone[1] == 2
+    assert out.n_ip[2] == 2 and "<IP>" in out.redacted[2]
+    clean = out.iloc[4]
+    assert clean.n_email == clean.n_phone == clean.n_ip == 0
+    assert clean.redacted == PII_LINES[4]
+    # dotted phone wins over its ipv4-shaped prefix (email->phone->ip order)
+    dotted = out.iloc[6]
+    assert dotted.n_phone == 1 and "<PHONE>" in dotted.redacted
+    assert "<IP>" not in dotted.redacted
