@@ -146,6 +146,11 @@ def bench_queries() -> dict[str, float]:
         "range_join_events",      # bucketed range join custom op (r2)
         "asof_join_salted",       # two-level salted as-of join (r3)
         "jaccard_pairs_docs",     # distinct-charset exact Jaccard (r3)
+        "dedup_cluster_docs",     # iterative connected components (r3)
+        "chunk_docs",             # doc → training-window explode (r3)
+        "pack_docs",              # greedy sequence packing (r3)
+        "kmeans_embeddings",      # distributed quantized Lloyd (r3)
+        "decontaminate_docs",     # broadcast blocklist matching (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:

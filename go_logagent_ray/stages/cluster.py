@@ -189,10 +189,47 @@ def _star_round(edges: Dataset, *, large: bool,
     return joined.map_batches(emit, batch_format="pyarrow")
 
 
+def _streamed_union_find(edges: Dataset) -> "Dataset":
+    """Finisher for graphs whose NODE set fits driver memory: stream the
+    edge list batch-by-batch through a numpy-backed path-compressing
+    union-find.  One scan, no rounds, exact.  The edge stream itself is
+    never materialized as Python objects — only the (node → parent)
+    arrays live on the driver, bounded by ``broadcast_limit``."""
+    import ray as _ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        for x, y in zip(a.tolist(), b.tolist()):
+            nodes.add(x)
+            nodes.add(y)
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+    out_nodes = np.fromiter(sorted(nodes), dtype=np.int64,
+                            count=len(nodes))
+    reps = np.fromiter((find(int(x)) for x in out_nodes),
+                       dtype=np.int64, count=len(out_nodes))
+    return _ray.data.from_arrow(pa.table({"node": out_nodes,
+                                          "rep": reps}))
+
+
 def connected_components(pairs: Dataset, *, a_col: str = "doc_a",
                          b_col: str = "doc_b",
                          max_rounds: int = 50,
-                         num_partitions: int | None = None) -> Dataset:
+                         num_partitions: int | None = None,
+                         broadcast_limit: int = 2_000_000) -> Dataset:
     """Cluster a pair graph into connected components.
 
     ``pairs`` columns ``a_col``/``b_col`` are int64 node ids (any order,
@@ -200,6 +237,17 @@ def connected_components(pairs: Dataset, *, a_col: str = "doc_a",
     ``(node, rep)`` covering every node that appears in ``pairs``, where
     ``rep`` is the minimum node id of its component (the elected
     duplicate-cluster representative).
+
+    Hybrid execution (the production CC shape): while the graph exceeds
+    ``broadcast_limit`` nodes (conservatively bounded by 2·edges),
+    alternate distributed large-star/small-star rounds — each round
+    strictly shrinks edges toward stars, so a huge pair graph contracts
+    in O(log n) shuffle rounds.  Once the node bound fits the driver
+    regime, finish with ONE streamed union-find scan (exact,
+    round-free).  At dedup workloads the pair graph is usually far
+    smaller than the corpus, so the finisher often runs immediately;
+    the star path is what makes a 10^9-edge graph tractable, and is
+    exercised directly in tests via ``broadcast_limit=0``.
 
     Raises RuntimeError if ``max_rounds`` alternating star rounds do not
     converge (should never happen before round ~2·log2(n)).
@@ -231,7 +279,13 @@ def connected_components(pairs: Dataset, *, a_col: str = "doc_a",
             pa.table({"node": pa.array([], pa.int64()),
                       "rep": pa.array([], pa.int64())}))
 
-    for _ in range(max_rounds):
+    rounds = 0
+    while sig[0] * 2 > broadcast_limit:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_rounds} rounds")
+        rounds += 1
         edges = _star_round(edges, large=True,
                             num_partitions=num_partitions)
         edges = _star_round(edges, large=False,
@@ -242,8 +296,8 @@ def connected_components(pairs: Dataset, *, a_col: str = "doc_a",
             break
         sig = new_sig
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds")
+        # node bound fits the driver regime: exact streamed finisher
+        return _streamed_union_find(edges)
 
     # Fixpoint edge set is a union of stars, each centered at its
     # component minimum: every edge is (rep, member).

@@ -738,8 +738,11 @@ def ngram_jaccard_pairs_lsh(
         return pa.table({"_jk": pa.array(ids, type=pa.int64()),
                          "_grams": pa.array(glists, type=_GRAMS_TYPE)})
 
+    # materialized: both attach passes read it, and without this the
+    # lazy lineage would re-run the corpus scan + shingle pass twice.
+    # Holds only candidate rows (ids + gram lists), never the corpus.
     grams = ds.map_batches(gram_rows, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True).materialize()
 
     def attach(pairs: Dataset, key_col: str, out_col: str,
                pair_types: dict) -> Dataset:

@@ -32,11 +32,15 @@ def _union_find(n_nodes, edges):
     return out
 
 
-def _run(edges):
+def _run(edges, broadcast_limit=0):
+    """broadcast_limit=0 forces the distributed star-round path (the
+    default hybrid would finish these tiny graphs with the streamed
+    union-find immediately)."""
     t = pa.table({"doc_a": pa.array([a for a, _ in edges], pa.int64()),
                   "doc_b": pa.array([b for _, b in edges], pa.int64())})
     ds = ray.data.from_arrow(t)
-    res = connected_components(ds, num_partitions=4).to_pandas()
+    res = connected_components(ds, num_partitions=4,
+                               broadcast_limit=broadcast_limit).to_pandas()
     return dict(zip(res["node"].astype(int), res["rep"].astype(int)))
 
 
@@ -45,6 +49,22 @@ def test_random_graph_matches_union_find():
     edges = [(int(a), int(b)) for a, b in rng.integers(0, 200, (300, 2))
              if a != b]
     assert _run(edges) == _union_find(200, edges)
+
+
+def test_hybrid_broadcast_path_matches_star_path():
+    rng = np.random.default_rng(21)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 150, (200, 2))
+             if a != b]
+    want = _union_find(150, edges)
+    assert _run(edges, broadcast_limit=2_000_000) == want
+
+
+def test_hybrid_contracts_then_streams():
+    # limit sized so the loop runs at least one star round before the
+    # streamed finisher takes over (2 * edges > limit initially)
+    edges = [(i, i + 1) for i in range(60)]
+    got = _run(edges, broadcast_limit=40)
+    assert set(got.values()) == {0} and len(got) == 61
 
 
 def test_chain_worst_case_diameter():
