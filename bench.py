@@ -181,7 +181,14 @@ def run_bench() -> dict:
                 with open(os.path.join(d, name), "rb") as f:
                     while f.read(1 << 24):
                         pass
-        flagship = bench_flagship(BENCH_TMP)
+        # min-of-reps: host-side noisy-neighbor load makes single shots
+        # swing 2-5x on this VM (measured 43k-137k turns/s for identical
+        # code); noise is one-sided so the min is the signal
+        reps = int(os.environ.get("GRAFT_BENCH_REPS",
+                                  "1" if os.environ.get("GRAFT_BENCH_QUICK")
+                                  else "3"))
+        flagship = min((bench_flagship(BENCH_TMP) for _ in range(reps)),
+                       key=lambda r: r["sec"])
         queries = {} if os.environ.get("GRAFT_BENCH_QUICK") else bench_queries()
         return {
             "metric": "flagship parse→route→aggregate wall time",

@@ -1364,11 +1364,21 @@ def q_asof_join_salted(sf_dir: str):
     boundary rows — a hot user never pins one task. Identical oracle to
     ``asof_join_events``; 6 h chunks actually split the sf time range
     into many chunks, most without error rows, so the
-    boundary-carry-forward path is genuinely exercised."""
+    boundary-carry-forward path is genuinely exercised. Salting is
+    gated by a TOP-K hot-key census (the production shape, mirroring
+    the window family): only the k heaviest users pay the chunked
+    two-level merge.  Salting EVERY key explodes the group count (1500
+    users × 120 six-hour chunks at sf0.1 ≈ 1-row groups; Ray's
+    per-group map_groups overhead made that ~5× slower than unsalted),
+    and an absolute threshold admits unboundedly many keys as the
+    table grows — top-k bounds the extra groups at k × chunks at any
+    scale."""
     from ..stages.asof import asof_join_backward
     from ..stages.filters import DropStage
+    from ..stages.partition import hot_topk
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    hot = hot_topk(ev, "user_id", k=8)
     left = ev.map_batches(
         DropStage([("in", "event_type", ["click", "view"])], mode="keep"),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -1377,7 +1387,8 @@ def q_asof_join_salted(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
     joined = asof_join_backward(left, right, key="user_id", on="ts",
                                 right_values=[],
-                                salt_chunk=6 * 3600 * 1_000_000)
+                                salt_chunk=6 * 3600 * 1_000_000,
+                                hot=hot)
 
     def finish(batch: pa.Table) -> pa.Table:
         err_us = pc.cast(pc.cast(as_combined(batch["ts_r"]),

@@ -121,8 +121,13 @@ def asof_join_backward(
         o = _on_int64(on_arr)
         salt = o // chunk
         if hot_list is not None:
-            keys = np.asarray(as_combined(keys_arr).to_pylist(), dtype=object)
-            salt = np.where(np.isin(keys, hot_list), salt, np.int64(0))
+            keys_np = as_combined(keys_arr).to_numpy(zero_copy_only=False)
+            if keys_np.dtype.kind in "iu":   # int keys: vectorized isin
+                hot_np = np.asarray(hot_list, dtype=keys_np.dtype)
+            else:
+                keys_np = np.asarray(keys_np, dtype=object)
+                hot_np = np.asarray(hot_list, dtype=object)
+            salt = np.where(np.isin(keys_np, hot_np), salt, np.int64(0))
         return salt.astype(np.int64)
 
     def drop_null_join_cols(batch: pa.Table) -> pa.Table:
@@ -175,6 +180,8 @@ def asof_join_backward(
     # Stage-1 output rides the same union schema, with the _side tag
     # reused as a ROLE: 0 = matched (final), 1 = pending left,
     # 2 = chunk-boundary right row.
+    hot_set = None if hot is None else set(hot)
+
     def per_chunk(g: pa.Table) -> pa.Table:
         lg, rg = split_sides(g)
         lg = lg.select(left_cols)
@@ -184,6 +191,15 @@ def asof_join_backward(
                                            [on_r] + rv_out)
         pieces = [pad_to_schema({c: matched[c] for c in out_cols},
                                 union_types, matched.num_rows, 0)]
+        if hot_set is not None and g.num_rows:
+            # hot-gated mode: a NON-hot key rides salt 0, so this chunk
+            # holds the WHOLE key — its pending lefts can never match
+            # (no earlier chunk exists) and no later chunk will need its
+            # boundary row.  Emitting neither keeps the stitch stage's
+            # group count at hot-keys × chunks instead of every key.
+            kv = g.column(key)[0].as_py()
+            if kv not in hot_set:
+                return pieces[0]
         if pending.num_rows:
             pieces.append(pad_to_schema({c: pending[c] for c in left_cols},
                                         union_types, pending.num_rows, 1))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..functions.arrow_utils import as_combined, set_column
@@ -35,6 +36,37 @@ def hot_keys(ds: Dataset, key: str, threshold: int) -> set:
 
     counts = counts_by(ds, [key], alias="n")
     return {r[key] for r in counts.take_all() if r["n"] > threshold}
+
+
+def hot_topk(ds: Dataset, key: str, k: int = 8) -> set:
+    """The k heaviest keys (count desc, key asc tie-break) — a
+    scale-independent hot set: an absolute count threshold admits an
+    unbounded number of keys as the table grows (measured: 83 'hot'
+    users at sf0.1 under threshold=80 exploded the salted group count),
+    while top-k bounds the extra salted groups at k × chunks at any
+    scale.  Same one-pass tree-reduced census."""
+    from .aggregate import counts_by
+
+    counts = counts_by(ds, [key], alias="n")
+
+    # per-block partial top-k, then a driver merge of blocks × k rows —
+    # never the full per-key count table (unbounded keys at scale), and
+    # no Ray sort (full shuffle fixed cost for k rows).  The block
+    # selection uses the SAME total order as the final merge
+    # (count desc, key asc) so boundary ties resolve identically —
+    # any global top-k row is by definition within its block's top-k
+    # under a consistent total order.
+    def block_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=[("n", "descending"),
+                                                (key, "ascending")])
+        return batch.take(idx.slice(0, k))
+
+    rows = counts.map_batches(block_topk, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    rows.sort(key=lambda r: (-r["n"], r[key]))
+    return {r[key] for r in rows[:k]}
 
 
 class SaltedPartitioner:
