@@ -1799,6 +1799,31 @@ def _sql_kmeans_embeddings() -> str:
 SQL_KMEANS_EMBEDDINGS = _sql_kmeans_embeddings()
 
 
+def q_grouped_quantiles_events(sf_dir: str):
+    """Exact grouped p50/p90/p99 of value (in cents) per event_type:
+    per-batch (group, quantized, count) partials shuffle — never raw
+    values (`stages/sketch.py::grouped_quantiles`).  quantile_disc
+    convention, half-up cent quantization identical on both sides."""
+    from ..stages.sketch import grouped_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value",
+                             {"p50_cents": 0.5, "p90_cents": 0.9,
+                              "p99_cents": 0.99})
+
+
+SQL_GROUPED_QUANTILES_EVENTS = """
+SELECT event_type,
+       quantile_disc(c, 0.5)  AS p50_cents,
+       quantile_disc(c, 0.9)  AS p90_cents,
+       quantile_disc(c, 0.99) AS p99_cents
+FROM (SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE NOT isnan(value) AND value IS NOT NULL)
+GROUP BY event_type
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1817,6 +1842,7 @@ QUERIES = {
     "pii_redact_docs": q_pii_redact_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "grouped_quantiles_events": q_grouped_quantiles_events,
     "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
@@ -1847,7 +1873,6 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "lineitem_agg": q_lineitem_agg,
     "topk_orders": q_topk_orders,
-    "median_value_events": q_median_value_events,
     "hash_join": q_hash_join,
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
     "parquet_sink_counts": q_parquet_sink_counts,
@@ -1871,7 +1896,9 @@ QUERIES = {
 # distinct_docs; broadcast_join ⊂ enrich_docs; the *_approx ANN modes
 # are recall-checked in pytest while the exact full-probe modes above
 # are hash-verified; hll_distinct/media_features are rows-only entries
-# whose accuracy lives in pytest; distinct_docs ⊂ the dedup family
+# whose accuracy lives in pytest; median_value ⊂ grouped_quantiles
+# (same sketch family, quantiles generalize the median);
+# distinct_docs ⊂ the dedup family
 # (dedup_exact/broadcast/cluster all in-window); ann_lsh and
 # grok_multifield passed the r02 driver gate and cede their slots to
 # unproven round-3 operators). Still run by the local pytest oracle
@@ -1881,6 +1908,7 @@ EXTRA_QUERIES = {
     "distinct_docs": q_distinct_docs,
     "ann_lsh": q_ann_lsh,
     "grok_multifield_events": q_grok_multifield_events,
+    "median_value_events": q_median_value_events,
     "hourly_counts_events": q_hourly_counts_events,
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
@@ -1903,6 +1931,7 @@ ORACLE_SQL = {
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+    "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "grok_parse_events": SQL_GROK_PARSE_EVENTS,
     "json_sum_events": SQL_JSON_SUM_EVENTS,
     "route_events": SQL_ROUTE_EVENTS,

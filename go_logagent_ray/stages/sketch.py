@@ -130,3 +130,60 @@ def exact_group_median(ds: Dataset, key: str, value: str,
                              alias: np.array([round(med * 1000)], dtype=np.int64)})
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+# ------------------------------------------------- exact grouped quantiles
+
+
+def grouped_quantiles(ds: Dataset, key: str, value: str,
+                      qs: dict[str, float],
+                      scale: int = 100) -> Dataset:
+    """EXACT discrete quantiles per group over quantized values — the
+    scale-safe grouped-quantile shape: values quantize to integers
+    (``floor(v*scale + 0.5)``, C-style half-up so the SQL side's
+    FLOOR(x+0.5) is bit-identical), each batch pre-aggregates
+    (group, quantized, count) partials, and ONLY those compact count
+    rows shuffle — never the raw values.  The per-group quantile then
+    reads the count distribution (rows = distinct quantized values per
+    group, bounded by value range × scale, not by input size).
+
+    Quantile convention matches DuckDB ``quantile_disc``: the element
+    at index max(0, ceil(n·q) − 1) of the sorted values (verified
+    empirically on this DuckDB build).  NaN and null values are
+    excluded on both sides.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = as_combined(batch[value]).to_numpy(zero_copy_only=False)
+        k = as_combined(batch[key])
+        ok = ~np.isnan(v)
+        cents = np.floor(v[ok] * scale + 0.5).astype(np.int64)
+        t = pa.table({key: k.filter(pa.array(ok)), "_q": pa.array(cents)})
+        part = t.group_by([key, "_q"]).aggregate([([], "count_all")])
+        # rename BY NAME — positional rename silently swaps columns when
+        # a pyarrow release changes keys-first aggregate output order
+        return pa.table({key: part[key], "_q": part["_q"],
+                         "_n": part["count_all"]})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    from ray.data.aggregate import Sum
+    counts = partials.groupby([key, "_q"]).aggregate(
+        Sum("_n", alias_name="_n"))
+
+    def per_group(g: pa.Table) -> pa.Table:
+        qv = g.column("_q").to_numpy(zero_copy_only=False)
+        cn = g.column("_n").to_numpy(zero_copy_only=False)
+        order = np.argsort(qv, kind="stable")
+        qv, cn = qv[order], cn[order]
+        cum = np.cumsum(cn)
+        n = int(cum[-1])
+        row = {key: g.column(key).slice(0, 1)}
+        for name, q in qs.items():
+            idx = max(0, int(np.ceil(n * q)) - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            row[name] = pa.array([int(qv[pos])], pa.int64())
+        return pa.table(row)
+
+    return counts.groupby(key).map_groups(per_group,
+                                          batch_format="pyarrow")

@@ -102,3 +102,24 @@ def test_profile_numeric_all_nan_column_reports_null(ray_session):
     assert out["allnan"] == (3, 0, 3, None, None)
     assert out["nan_and_null"] == (3, 1, 2, None, None)
     assert out["allnull"] == (3, 3, 0, None, None)
+
+
+def test_grouped_quantiles_negative_and_nan():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from go_logagent_ray.stages.sketch import grouped_quantiles
+
+    vals = [-1.005, -0.5, 0.0, 0.25, 1.0, float("nan"), 2.0]
+    t = pa.table({
+        "k": pa.array(["a"] * len(vals) + ["b"] * 3, pa.string()),
+        "v": pa.array(vals + [10.0, 20.0, 30.0], pa.float64()),
+    })
+    out = grouped_quantiles(ray.data.from_arrow(t), "k", "v",
+                            {"p50": 0.5, "p100": 1.0}).to_pandas()
+    out = out.set_index("k")
+    # group a: cents sorted [-100, -50, 0, 25, 100, 200] (NaN dropped;
+    # -1.005*100+0.5 = -100.0 floor -> -100); p50 idx=ceil(6*.5)-1=2 -> 0
+    assert out.loc["a", "p50"] == 0 and out.loc["a", "p100"] == 200
+    assert out.loc["b", "p50"] == 2000 and out.loc["b", "p100"] == 3000
