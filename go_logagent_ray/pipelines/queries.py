@@ -1824,6 +1824,56 @@ GROUP BY event_type
 """
 
 
+def q_inverted_index_docs(sf_dir: str):
+    """Sharded inverted index: (term, doc-range shard) → sorted postings
+    CSV + count.  Sharding by doc_id // 1000 bounds every group (a hot
+    term like a stopword otherwise collects the whole corpus in one
+    task); postings stay ordered within shards, so a reader merges
+    shard files in shard order.  Per-batch per-doc-unique explode is
+    the only wide work; only compact (term, doc_id) rows shuffle."""
+    import polars as pl
+
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        out = (df.with_columns(
+                   pl.col("text").str.split(" ").list.unique().alias("_t"))
+               .select(["doc_id", "_t"])
+               .explode("_t"))
+        return pa.table({
+            "term": out["_t"].to_arrow().cast(pa.string()),
+            "doc_id": out["doc_id"].to_arrow().cast(pa.int64()),
+            "shard": (out["doc_id"] // 1000).to_arrow().cast(pa.int64()),
+        })
+
+    rows = ds.map_batches(term_rows, batch_format="pyarrow")
+
+    def postings(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "term": g.column("term").slice(0, 1),
+            "shard": g.column("shard").slice(0, 1),
+            "postings": pa.array([",".join(map(str, ids))], pa.string()),
+            "n": pa.array([len(ids)], pa.int64()),
+        })
+
+    return rows.groupby(["term", "shard"]).map_groups(
+        postings, batch_format="pyarrow")
+
+
+SQL_INVERTED_INDEX_DOCS = """
+SELECT term, doc_id // 1000 AS shard,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+       COUNT(*) AS n
+FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+GROUP BY term, doc_id // 1000
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1843,6 +1893,7 @@ QUERIES = {
     "stratified_sample_docs": q_stratified_sample_docs,
     "kmeans_embeddings": q_kmeans_embeddings,
     "grouped_quantiles_events": q_grouped_quantiles_events,
+    "inverted_index_docs": q_inverted_index_docs,
     "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
@@ -1865,7 +1916,6 @@ QUERIES = {
     "flagship_sink_counts": q_flagship_sink_counts,
     "enrich_docs": q_enrich_docs,
     "token_stats_docs": q_token_stats_docs,
-    "dedup_exact_docs": q_dedup_exact_docs,
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "embedding_neardup": q_embedding_neardup,
@@ -1898,7 +1948,7 @@ QUERIES = {
 # are hash-verified; hll_distinct/media_features are rows-only entries
 # whose accuracy lives in pytest; median_value ⊂ grouped_quantiles
 # (same sketch family, quantiles generalize the median);
-# distinct_docs ⊂ the dedup family
+# dedup_exact/distinct_docs ⊂ the dedup family
 # (dedup_exact/broadcast/cluster all in-window); ann_lsh and
 # grok_multifield passed the r02 driver gate and cede their slots to
 # unproven round-3 operators). Still run by the local pytest oracle
@@ -1909,6 +1959,7 @@ EXTRA_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "grok_multifield_events": q_grok_multifield_events,
     "median_value_events": q_median_value_events,
+    "dedup_exact_docs": q_dedup_exact_docs,
     "hourly_counts_events": q_hourly_counts_events,
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
@@ -1932,6 +1983,7 @@ ORACLE_SQL = {
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
+    "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "grok_parse_events": SQL_GROK_PARSE_EVENTS,
     "json_sum_events": SQL_JSON_SUM_EVENTS,
     "route_events": SQL_ROUTE_EVENTS,
