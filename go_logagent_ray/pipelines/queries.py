@@ -1874,6 +1874,50 @@ GROUP BY term, doc_id // 1000
 """
 
 
+def q_bloom_join(sf_dir: str):
+    """Large⋈large hash join with BLOOM-PREFILTERED probe side
+    (`stages/bloom.py`): one pass over the filtered orders builds a
+    1 MiB mergeable bit array, broadcast once; lineitem rows whose
+    orderkey is definitely absent drop BEFORE the shuffle, and bloom
+    false positives are discarded by the join itself — result is
+    exactly the plain join's.  The shuffle-volume reduction is the
+    point at 100 TB; correctness is oracle-identical to an unfiltered
+    join."""
+    import ray as _ray
+
+    from ..stages.bloom import bloom_prefilter, build_bloom
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    bloom = build_bloom(orders, "o_orderkey")
+    ref = _ray.put(bloom)
+    pruned = bloom_prefilter(lines, "l_orderkey", ref)
+    joined = pruned.join(orders.select_columns(
+        ["o_orderkey", "o_orderpriority"]), join_type="inner",
+        num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def to_parts(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(as_combined(batch["l_quantity"]), pa.int64())
+        return pa.table({"o_orderpriority": batch["o_orderpriority"],
+                         "qty": qty})
+
+    parts = joined.map_batches(to_parts, batch_format="pyarrow")
+    return grouped_sum(parts, ["o_orderpriority"], "qty", alias="sum_qty")
+
+
+SQL_BLOOM_JOIN = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1894,6 +1938,7 @@ QUERIES = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "grouped_quantiles_events": q_grouped_quantiles_events,
     "inverted_index_docs": q_inverted_index_docs,
+    "bloom_join": q_bloom_join,
     "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
@@ -1922,7 +1967,6 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "lineitem_agg": q_lineitem_agg,
-    "topk_orders": q_topk_orders,
     "hash_join": q_hash_join,
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
     "parquet_sink_counts": q_parquet_sink_counts,
@@ -1948,7 +1992,8 @@ QUERIES = {
 # are hash-verified; hll_distinct/media_features are rows-only entries
 # whose accuracy lives in pytest; median_value ⊂ grouped_quantiles
 # (same sketch family, quantiles generalize the median);
-# dedup_exact/distinct_docs ⊂ the dedup family
+# dedup_exact/distinct_docs ⊂ the dedup family; topk_orders ⊂ the
+# sort+limit in doc_freq_terms (O2)
 # (dedup_exact/broadcast/cluster all in-window); ann_lsh and
 # grok_multifield passed the r02 driver gate and cede their slots to
 # unproven round-3 operators). Still run by the local pytest oracle
@@ -1960,6 +2005,7 @@ EXTRA_QUERIES = {
     "grok_multifield_events": q_grok_multifield_events,
     "median_value_events": q_median_value_events,
     "dedup_exact_docs": q_dedup_exact_docs,
+    "topk_orders": q_topk_orders,
     "hourly_counts_events": q_hourly_counts_events,
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
@@ -1984,6 +2030,7 @@ ORACLE_SQL = {
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
+    "bloom_join": SQL_BLOOM_JOIN,
     "grok_parse_events": SQL_GROK_PARSE_EVENTS,
     "json_sum_events": SQL_JSON_SUM_EVENTS,
     "route_events": SQL_ROUTE_EVENTS,
