@@ -56,11 +56,16 @@ def build_bloom(ds: Dataset, key: str, *, m_bits: int = 1 << 23,
                          np.left_shift(1, (pos & 7)).astype(np.uint8))
         return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
+    # streamed OR-merge: iter_batches consumes one partial at a time —
+    # take_all() would buffer blocks × m_bits/8 bytes on the driver at
+    # once (tens of GB at 100 TB block counts) for rows used once
     merged = np.zeros(m_bits // 8, dtype=np.uint8)
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=None).take_all():
-        np.bitwise_or(merged, np.frombuffer(row["bloom"], dtype=np.uint8),
-                      out=merged)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        for buf in batch.column("bloom").to_pylist():
+            np.bitwise_or(merged, np.frombuffer(buf, dtype=np.uint8),
+                          out=merged)
     return merged.tobytes()
 
 

@@ -36,6 +36,11 @@ def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
 
     def explode(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([id_field, text_field]))
+        # null text emits NO chunks — matching the SQL oracle, where
+        # string_split(NULL) → NULL → unnest(range(NULL)) is zero rows;
+        # without the filter a null list.len() becomes NaN and
+        # int(NaN) kills the whole map task
+        df = df.filter(pl.col(text_field).is_not_null())
         df = df.with_columns(
             pl.col(text_field).str.split(" ").alias("_w"))
         df = df.with_columns(pl.col("_w").list.len().alias("_n"))

@@ -190,39 +190,48 @@ def _star_round(edges: Dataset, *, large: bool,
 
 
 def _streamed_union_find(edges: Dataset) -> "Dataset":
-    """Finisher for graphs whose NODE set fits driver memory: stream the
-    edge list batch-by-batch through a numpy-backed path-compressing
-    union-find.  One scan, no rounds, exact.  The edge stream itself is
-    never materialized as Python objects — only the (node → parent)
-    arrays live on the driver, bounded by ``broadcast_limit``."""
+    """Finisher for graphs that fit the driver regime: collect the edge
+    list as numpy int64 arrays (16 bytes/edge — bounded by
+    broadcast_limit/2 edges, e.g. 16 MB at the 2M-node default), remap
+    node ids to a dense range with ``np.unique``, and run an
+    array-backed path-halving union-find.  State is three int64 arrays
+    (edges ×2 + parent), never boxed Python ints; the only Python-level
+    loop is one pass over the edges against array storage.  One scan,
+    no rounds, exact."""
     import ray as _ray
 
-    parent: dict[int, int] = {}
+    a_parts, b_parts = [], []
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        a_parts.append(batch.column("a").to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        b_parts.append(batch.column("b").to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    a = np.concatenate(a_parts) if a_parts else np.array([], np.int64)
+    b = np.concatenate(b_parts) if b_parts else np.array([], np.int64)
+    nodes, flat = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = flat[:len(a)], flat[len(a):]
+    parent = np.arange(len(nodes), dtype=np.int64)
 
     def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
+        while parent[x] != x:          # path halving
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
 
-    nodes: set[int] = set()
-    for batch in edges.iter_batches(batch_format="pyarrow"):
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        for x, y in zip(a.tolist(), b.tolist()):
-            nodes.add(x)
-            nodes.add(y)
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                parent[max(rx, ry)] = min(rx, ry)
-    out_nodes = np.fromiter(sorted(nodes), dtype=np.int64,
-                            count=len(nodes))
-    reps = np.fromiter((find(int(x)) for x in out_nodes),
-                       dtype=np.int64, count=len(out_nodes))
-    return _ray.data.from_arrow(pa.table({"node": out_nodes,
-                                          "rep": reps}))
+    for x, y in zip(ea, eb):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union toward the smaller NODE id so the root is the
+            # component minimum (node ids are sorted by np.unique, so
+            # dense-index order == id order)
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    reps_idx = np.fromiter((find(int(i)) for i in range(len(nodes))),
+                           dtype=np.int64, count=len(nodes))
+    return _ray.data.from_arrow(pa.table({"node": nodes,
+                                          "rep": nodes[reps_idx]}))
 
 
 def connected_components(pairs: Dataset, *, a_col: str = "doc_a",
@@ -234,9 +243,10 @@ def connected_components(pairs: Dataset, *, a_col: str = "doc_a",
 
     ``pairs`` columns ``a_col``/``b_col`` are int64 node ids (any order,
     self loops tolerated).  Returns a Dataset with columns
-    ``(node, rep)`` covering every node that appears in ``pairs``, where
-    ``rep`` is the minimum node id of its component (the elected
-    duplicate-cluster representative).
+    ``(node, rep)`` covering every node that appears in a NON-self-loop
+    pair (a node seen only as (x, x) carries no dedup information and
+    is dropped with the loop edge), where ``rep`` is the minimum node
+    id of its component (the elected duplicate-cluster representative).
 
     Hybrid execution (the production CC shape): while the graph exceeds
     ``broadcast_limit`` nodes (conservatively bounded by 2·edges),

@@ -136,14 +136,15 @@ def _ngram_strings(text: str, n: int) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized lowercase + whitespace tokenize + stable 64-bit hash.
-
-    polars ``str.extract_all(r"[^ \\t\\n\\f\\r]+")`` matches
-    ``_ngram_strings``'s tokenizer token-for-token (RE2 ASCII whitespace
-    set); hashing runs over the EXPLODED token series in one vectorized
-    pass. Returns (flat token hashes, row offsets len n+1).
-    """
+def _tokenize_flat(texts):
+    """Shared tokenizer prologue for BOTH hash modes: vectorized
+    lowercase + whitespace tokenize, exploded flat token series + row
+    offsets.  ONE definition on purpose — the md5 oracle mode must
+    tokenize bit-identically to the production polars-hash mode, so the
+    tokenize sequence (Utf8 cast, fill_null, lowercase,
+    ``extract_all(r"[^ \\t\\n\\f\\r]+")`` = RE2 ASCII whitespace set
+    matching ``_ngram_strings``, empty-as-no-rows explode) lives here
+    and only the hash step differs downstream."""
     import polars as pl
 
     s = pl.Series(pl.from_arrow(texts)).cast(pl.Utf8).fill_null("")
@@ -155,6 +156,14 @@ def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     # and the un-pinned call warns per batch); real tokens are never
     # null, so drop_nulls is a no-op safety net
     flat = toks.explode(empty_as_null=False).drop_nulls()
+    return flat, offsets
+
+
+def _tokenize_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Production mode: stable vectorized polars 64-bit hash over the
+    shared tokenize (see ``_tokenize_flat``). Returns (flat token
+    hashes, row offsets len n+1)."""
+    flat, offsets = _tokenize_flat(texts)
     h = flat.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
     return h, offsets
 
@@ -209,17 +218,13 @@ def _tokenize_hashes_md5(texts) -> tuple[np.ndarray, np.ndarray]:
     SQL oracle can recompute the identical hashes. md5 runs per UNIQUE
     token (np.unique + inverse map), not per occurrence; still a Python
     loop, so production pipelines keep the vectorized polars hash and
-    this mode exists to make the pipeline SQL-checkable end-to-end."""
+    this mode exists to make the pipeline SQL-checkable end-to-end.
+    Tokenization is the SHARED ``_tokenize_flat`` — only the hash step
+    differs from the production mode."""
     import hashlib
 
-    import polars as pl
-
-    s = pl.Series(pl.from_arrow(texts)).cast(pl.Utf8).fill_null("")
-    toks = s.str.to_lowercase().str.extract_all(r"[^ \t\n\f\r]+")
-    lens = toks.list.len().to_numpy().astype(np.int64)
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    flat = toks.explode(empty_as_null=False).drop_nulls().to_numpy()
+    flat_s, offsets = _tokenize_flat(texts)
+    flat = flat_s.to_numpy()
     if flat.size == 0:
         return np.zeros(0, dtype=np.uint64), offsets
     uniq, inv = np.unique(flat, return_inverse=True)
@@ -228,6 +233,24 @@ def _tokenize_hashes_md5(texts) -> tuple[np.ndarray, np.ndarray]:
                         "little") for t in uniq],
         dtype=np.uint64)
     return uh[inv], offsets
+
+
+def _triu_blocks(n: int, pair_budget: int):
+    """Yield (ii, jj) upper-triangle index blocks of ≤ ~pair_budget
+    pairs each — bounds peak memory of vectorized in-bucket pair passes
+    (a 5000-row bucket has 12.5M pairs; materializing pairs × num_perm
+    signature temporaries at once would OOM the map task, and even the
+    full triu index pair is 200 MB)."""
+    rows_per = max(1, pair_budget // max(1, n))
+    i = 0
+    while i < n - 1:
+        i2 = min(i + rows_per, n - 1)
+        counts = n - 1 - np.arange(i, i2)
+        ii = np.repeat(np.arange(i, i2), counts)
+        jj = np.concatenate([np.arange(x + 1, n) for x in range(i, i2)]) \
+            if i2 > i else np.array([], dtype=np.int64)
+        yield ii, jj
+        i = i2
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -366,9 +389,11 @@ def minhash_lsh_pairs(
         are processed with a C-speed pandas groupby inside (per-bucket
         map_groups would spin up tens of thousands of tiny frames).
         First-colliding-band ownership makes the global pair set
-        duplicate-free without a second shuffle. The in-bucket compare is
-        one vectorized upper-triangle pass (pairs × num_perm bools — a
-        few MB even for thousand-row buckets), not a per-row loop."""
+        duplicate-free without a second shuffle. The in-bucket compare
+        is vectorized upper-triangle passes in BOUNDED pair blocks
+        (``_triu_blocks``): the signature temporaries are
+        block_pairs × num_perm, never all-pairs × num_perm (a
+        dup-heavy 5000-row bucket would otherwise allocate ~13 GB)."""
         band = int(group["band"].iloc[0])
         out_a, out_b, out_s = [], [], []
         for _, bucket in group.groupby("bkey", sort=False):
@@ -377,22 +402,24 @@ def minhash_lsh_pairs(
             g = bucket.sort_values(id_field)
             ids = g[id_field].to_numpy()
             sig = np.stack(g["sig"].to_numpy())
-            ii, jj = np.triu_indices(len(ids), 1)
-            eq = (sig[ii] == sig[jj]).mean(axis=1)
-            hit = eq >= threshold
-            if band > 0 and hit.any():
-                # recompute every EARLIER band's bucket key from the sigs
+            keys = None
+            if band > 0:
+                # earlier-band bucket keys, recomputed once per bucket
                 view = sig.reshape(len(ids), bands, rows_per_band)[:, :band, :] \
                     .astype(np.uint64)
                 keys = np.zeros(view.shape[:2], dtype=np.uint64)
                 for t in range(rows_per_band):
                     keys = keys * _FNV + view[:, :, t]
-                hit &= ~(keys[ii] == keys[jj]).any(axis=1)
-            sel = np.nonzero(hit)[0]
-            if sel.size:
-                out_a.append(ids[ii[sel]])
-                out_b.append(ids[jj[sel]])
-                out_s.append(eq[sel].astype(np.float64))
+            for ii, jj in _triu_blocks(len(ids), 1 << 17):
+                eq = (sig[ii] == sig[jj]).mean(axis=1)
+                hit = eq >= threshold
+                if keys is not None and hit.any():
+                    hit &= ~(keys[ii] == keys[jj]).any(axis=1)
+                sel = np.nonzero(hit)[0]
+                if sel.size:
+                    out_a.append(ids[ii[sel]])
+                    out_b.append(ids[jj[sel]])
+                    out_s.append(eq[sel].astype(np.float64))
         return pd.DataFrame({
             "doc_a": np.concatenate(out_a) if out_a
             else np.array([], dtype=np.int64),
@@ -515,24 +542,25 @@ def simhash_pairs(ds: Dataset, *, max_hamming: int = 3,
             g = bucket.sort_values(id_field)
             ids = g[id_field].to_numpy()
             sh = g["simhash"].to_numpy().astype(np.uint64)
-            # one vectorized upper-triangle pass per bucket
-            ii, jj = np.triu_indices(len(ids), 1)
-            x = sh[ii] ^ sh[jj]
-            ham = _popcount64(x)
-            hit = ham <= max_hamming
-            if band > 0 and hit.any():
-                # first-colliding-band ownership: skip pairs whose
-                # earlier 16-bit band slice already matched
-                owned_earlier = np.zeros(len(x), dtype=bool)
-                for bprev in range(band):
-                    owned_earlier |= ((x >> np.uint64(16 * bprev))
-                                      & np.uint64(0xFFFF)) == 0
-                hit &= ~owned_earlier
-            sel = np.nonzero(hit)[0]
-            if sel.size:
-                a.append(ids[ii[sel]])
-                b.append(ids[jj[sel]])
-                hd.append(ham[sel])
+            # vectorized upper-triangle passes in bounded pair blocks
+            # (_popcount64's unpackbits expands 64× per pair)
+            for ii, jj in _triu_blocks(len(ids), 1 << 20):
+                x = sh[ii] ^ sh[jj]
+                ham = _popcount64(x)
+                hit = ham <= max_hamming
+                if band > 0 and hit.any():
+                    # first-colliding-band ownership: skip pairs whose
+                    # earlier 16-bit band slice already matched
+                    owned_earlier = np.zeros(len(x), dtype=bool)
+                    for bprev in range(band):
+                        owned_earlier |= ((x >> np.uint64(16 * bprev))
+                                          & np.uint64(0xFFFF)) == 0
+                    hit &= ~owned_earlier
+                sel = np.nonzero(hit)[0]
+                if sel.size:
+                    a.append(ids[ii[sel]])
+                    b.append(ids[jj[sel]])
+                    hd.append(ham[sel])
         return pd.DataFrame({
             "doc_a": np.concatenate(a) if a else np.array([], dtype=np.int64),
             "doc_b": np.concatenate(b) if b else np.array([], dtype=np.int64),
@@ -700,6 +728,10 @@ def ngram_jaccard_pairs_lsh(
 
     from ..functions.cogroup import SIDE_COL, pad_to_schema
 
+    # materialized: the id-collection loop below AND the attach stage
+    # both consume cands — without this the whole LSH mining lineage
+    # (tokenize → shingle → minhash → shuffle → pair mining) would
+    # execute twice.  Candidate pairs are small by construction.
     cands = minhash_lsh_pairs(
         ds, num_perm=num_perm, bands=bands, ngram=ngram,
         threshold=candidate_threshold, text_field=text_field,

@@ -69,3 +69,10 @@ def test_decontaminate_hits_and_short_benchmark_docs():
     out = decontaminate(ds).to_pandas().set_index("doc_id")["n_hits"]
     assert out[0] == 1 and out[5] == 1
     assert out[6] == 0 and out[97] == 0
+
+
+def test_chunk_null_text_emits_no_chunks():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b c", None], pa.string())})
+    out = chunk_documents(ray.data.from_arrow(t)).to_pandas()
+    assert list(out.doc_id) == [1]
