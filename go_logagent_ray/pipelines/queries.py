@@ -1067,7 +1067,8 @@ SQL_TCP_SOURCE_COUNTS = (
     + ", ".join(f"('{line}')" for line in _TCP_LINES)
     + r""")
 SELECT regexp_extract(text, '(INFO|WARN|ERROR|TRACE)', 1) AS level,
-       SUM(CAST(regexp_extract(text, 'id=([+-]?\d+)', 1) AS BIGINT)) AS sum_id,
+       CAST(SUM(CAST(regexp_extract(text, 'id=([+-]?\d+)', 1) AS BIGINT))
+            AS BIGINT) AS sum_id,
        COUNT(*) AS n
 FROM lines GROUP BY 1
 """)
