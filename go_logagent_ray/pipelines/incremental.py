@@ -63,28 +63,47 @@ class IncrementalRunner:
         os.makedirs(out_dir, exist_ok=True)
 
     def process_chunk(self, table: pa.Table) -> dict:
-        """Parse→enrich→route one chunk; append sinks; update state."""
+        """Convenience wrapper: one in-memory Arrow chunk (e.g. from a
+        socket source's poll loop)."""
         import ray.data as rd
-
-        from .transcript import parse_enrich_route
 
         if table.num_rows == 0:
             # nothing arrived this tick — no chunk dir, no state update
             return {"chunk": self.chunk_idx, "rows": 0, "groups_touched": 0}
-        routed = parse_enrich_route(rd.from_arrow(table), batch_size=None) \
-            .materialize()
+        return self.process_chunk_dataset(rd.from_arrow(table),
+                                          n_rows=table.num_rows)
+
+    def process_chunk_dataset(self, ds, n_rows: int | None = None) -> dict:
+        """Parse→enrich→route one chunk DATASET; append sinks; update
+        state.  The chunk never lands on the driver as rows: sinks are
+        written from the materialized blocks, and the state update reads
+        per-block PARTIAL count tables (bounded by key cardinality per
+        block), not the chunk's columns."""
+        from .transcript import parse_enrich_route
+
+        routed = parse_enrich_route(ds, batch_size=None).materialize()
+        if n_rows is None:
+            n_rows = routed.count()
+        if n_rows == 0:
+            return {"chunk": self.chunk_idx, "rows": 0, "groups_touched": 0}
         chunk_dir = os.path.join(self.out_dir, f"chunk-{self.chunk_idx:06d}")
         routed.write_parquet(chunk_dir, partition_cols=["route"])
 
-        # partial counts straight from the materialized chunk blocks — no
-        # disk round-trip re-reading what was just written
-        t = pa.concat_tables(
-            tb if isinstance(tb, pa.Table) else pa.Table.from_batches([tb])
-            for tb in ray.get(routed.select_columns(self.agg_keys).to_arrow_refs())
-        )
-        part = t.group_by(self.agg_keys).aggregate([([], "count_all")])
-        keys = list(zip(*[part[k].to_pylist() for k in self.agg_keys]))
-        vals = part["count_all"].to_pylist()
+        agg_keys = self.agg_keys
+
+        def part_counts(batch: pa.Table) -> pa.Table:
+            p = batch.group_by(agg_keys).aggregate([([], "count_all")])
+            cols = {k: p[k] for k in agg_keys}   # by-name, never positional
+            cols["_n"] = p["count_all"]
+            return pa.table(cols)
+
+        part_rows = routed.select_columns(agg_keys).map_batches(
+            part_counts, batch_format="pyarrow", batch_size=None).take_all()
+        merged: Counter = Counter()
+        for r in part_rows:
+            merged[tuple(r[k] for k in agg_keys)] += r["_n"]
+        keys = list(merged)
+        vals = [merged[k] for k in keys]
 
         # shard updates by key hash; one small RPC per bucket
         shard_of = self._hash([str(k) for k in keys]) % self.num_buckets \
@@ -97,7 +116,7 @@ class IncrementalRunner:
                 futures.append(self.actors[b].update.remote(ks, vs))
         ray.get(futures)
         self.chunk_idx += 1
-        return {"chunk": self.chunk_idx - 1, "rows": table.num_rows,
+        return {"chunk": self.chunk_idx - 1, "rows": n_rows,
                 "groups_touched": len(keys)}
 
     def running_counts(self) -> dict:

@@ -1244,14 +1244,11 @@ def q_incremental_counts(sf_dir: str):
     runner = None
     try:
         ds = transcripts_from_events(sf_dir)
-        tbl = pa.concat_tables(
-            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-            for t in ray.get(ds.to_arrow_refs()))
         runner = IncrementalRunner(work)
-        n_chunks = 4
-        step = (tbl.num_rows + n_chunks - 1) // n_chunks
-        for i in range(n_chunks):
-            runner.process_chunk(tbl.slice(i * step, step))
+        # chunk the stream as DATASET splits — blocks stay in the object
+        # store; the driver never materializes the input rows
+        for chunk in ds.split(4):
+            runner.process_chunk_dataset(chunk)
         counts = runner.running_counts()
         keys = sorted(counts)
         return pa.table({
