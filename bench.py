@@ -151,6 +151,9 @@ def bench_queries() -> dict[str, float]:
         "pack_docs",              # greedy sequence packing (r3)
         "kmeans_embeddings",      # distributed quantized Lloyd (r3)
         "decontaminate_docs",     # broadcast blocklist matching (r3)
+        "grouped_quantiles_events",  # quantized exact grouped quantiles (r3)
+        "inverted_index_docs",    # sharded postings build (r3)
+        "bloom_join",             # bloom-prefiltered hash join (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:

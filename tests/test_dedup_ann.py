@@ -528,3 +528,20 @@ def test_charset_jaccard_distinct_path_matches_bruteforce(ray_session):
     with pytest.raises(Exception):
         charset_jaccard_pairs(rd.from_arrow(t), ["lang"], threshold=thr,
                               max_distinct=2).materialize()
+
+
+def test_triu_blocks_cover_exact_triangle():
+    import numpy as np
+
+    from go_logagent_ray.stages.dedup import _triu_blocks
+
+    for n in (0, 1, 2, 3, 7, 50):
+        for budget in (1, 5, 1000):
+            ii = np.concatenate([b[0] for b in _triu_blocks(n, budget)] or
+                                [np.array([], dtype=np.int64)])
+            jj = np.concatenate([b[1] for b in _triu_blocks(n, budget)] or
+                                [np.array([], dtype=np.int64)])
+            ei, ej = np.triu_indices(n, 1)
+            got = sorted(zip(ii.tolist(), jj.tolist()))
+            want = sorted(zip(ei.tolist(), ej.tolist()))
+            assert got == want, (n, budget)
