@@ -99,6 +99,70 @@ def _json(conf: dict):
     }
 
 
+@register_stage("pii")
+def _pii(conf: dict):
+    """Scrub PII in place: rewrites ``field`` with redacted text and
+    appends n_email / n_phone / n_ip count columns."""
+    from .functions.pii import REDACTIONS
+
+    field = conf.get("field", "text")
+
+    def scrub(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # an all-null block arrives as null TYPE (no string kernel);
+        # cast first — null values then flow through as null counts
+        # and null redacted text, matching SQL regexp_* on NULL
+        text = pc.cast(batch[field], pa.string())
+        red = text
+        counts = {}
+        for pat, token, cnt in REDACTIONS:
+            counts[cnt] = pc.cast(pc.count_substring_regex(text, pat),
+                                  pa.int64())
+            red = pc.replace_substring_regex(red, pat, token)
+        out = batch.set_column(batch.column_names.index(field), field, red)
+        for cnt, arr in counts.items():
+            out = out.append_column(cnt, arr)
+        return out
+
+    return scrub, {}
+
+
+@register_stage("chunk")
+def _chunk(conf: dict):
+    """Explode documents into word windows (training-sequence prep)."""
+    from .stages.chunk import chunk_batch_fn
+
+    return chunk_batch_fn(
+        size=conf.get("size", 32), stride=conf.get("stride", 24),
+        text_field=conf.get("field", "text"),
+        id_field=conf.get("id_field", "doc_id")), {}
+
+
+@register_stage("decontaminate")
+def _decontaminate(conf: dict):
+    """Count benchmark-blocklist grams per row (grams given literally
+    in the config; the query path builds them distributed + ray.put)."""
+    from .stages.decontaminate import DecontaminateStage
+
+    return DecontaminateStage, {
+        "grams_ref": list(conf["grams"]),
+        "text_field": conf.get("field", "text"),
+        "id_field": conf.get("id_field", "doc_id"),
+    }
+
+
+@register_stage("sample")
+def _sample(conf: dict):
+    """Deterministic keep-percent filter (reproducible sampling)."""
+    from .stages.sample import sample_batch_fn
+
+    return sample_batch_fn(
+        key=conf["key"], percent=int(conf["percent"]),
+        method=conf.get("method", "hash")), {}
+
+
 class Pipeline:
     """A compiled chain of map_batches stages + input/output specs."""
 

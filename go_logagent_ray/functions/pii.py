@@ -56,7 +56,10 @@ def redact_pii(ds: Dataset, *, text_field: str = "text",
     """(row_id, redacted, n_email, n_phone, n_ip) per row."""
 
     def scrub(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_field)
+        # cast guards the all-null-block case (null TYPE has no string
+        # kernels); null text yields null counts + null redacted,
+        # matching SQL regexp_* on NULL
+        text = pc.cast(batch.column(text_field), pa.string())
         cols = {id_field: batch.column(id_field)}
         red = text
         for pat, token, cnt_name in REDACTIONS:

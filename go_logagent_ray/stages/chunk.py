@@ -23,14 +23,10 @@ CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 
 
-def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
-                    stride: int = CHUNK_STRIDE, text_field: str = "text",
-                    id_field: str = "doc_id") -> Dataset:
-    """Explode docs into word windows: chunk k covers words
-    [k*stride, k*stride + size) (0-based), for k while k*stride <
-    n_words.  Every document emits at least one chunk; with
-    stride < size the trailing chunks overlap and the last may be
-    short."""
+def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
+                   text_field: str = "text", id_field: str = "doc_id"):
+    """The per-batch explode as a standalone callable — used by
+    ``chunk_documents`` and registrable in config filter chains."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
 
@@ -39,7 +35,9 @@ def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
         # null text emits NO chunks — matching the SQL oracle, where
         # string_split(NULL) → NULL → unnest(range(NULL)) is zero rows;
         # without the filter a null list.len() becomes NaN and
-        # int(NaN) kills the whole map task
+        # int(NaN) kills the whole map task.  The cast guards all-null
+        # blocks whose column arrives as Null dtype (no str namespace).
+        df = df.with_columns(pl.col(text_field).cast(pl.Utf8))
         df = df.filter(pl.col(text_field).is_not_null())
         df = df.with_columns(
             pl.col(text_field).str.split(" ").alias("_w"))
@@ -75,4 +73,17 @@ def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
             "chunk_text": pl.concat(txt_out).to_arrow(),
         })
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return explode
+
+
+def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE, text_field: str = "text",
+                    id_field: str = "doc_id") -> Dataset:
+    """Explode docs into word windows: chunk k covers words
+    [k*stride, k*stride + size) (0-based), for k while k*stride <
+    n_words.  Every non-null document emits at least one chunk; with
+    stride < size the trailing chunks overlap and the last may be
+    short; null text emits nothing."""
+    fn = chunk_batch_fn(size=size, stride=stride, text_field=text_field,
+                        id_field=id_field)
+    return ds.map_batches(fn, batch_format="pyarrow")

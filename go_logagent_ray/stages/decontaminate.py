@@ -81,10 +81,12 @@ class DecontaminateStage:
         self.id_field = id_field
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_field)
+        # cast guards all-null blocks (null TYPE lacks string kernels);
+        # null text counts as 0 hits on both sides
+        texts = pc.cast(batch.column(self.text_field), pa.string())
         hits = np.zeros(len(batch), dtype=np.int64)
         for g in self.grams:
-            m = pc.match_substring(texts, g)
+            m = pc.fill_null(pc.match_substring(texts, g), False)
             hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             self.id_field: batch.column(self.id_field),

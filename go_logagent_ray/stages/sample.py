@@ -70,10 +70,9 @@ def split_assign(ds: Dataset, key: str,
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sample_fraction(ds: Dataset, key: str, percent: int,
-                    method: str = "hash") -> Dataset:
-    """Keep rows whose bucket < percent — a reproducible ~percent% sample
-    (exact for modulo keying on dense ids)."""
+def sample_batch_fn(key: str, percent: int, method: str = "hash"):
+    """The per-batch keep-filter as a standalone callable — used by
+    ``sample_fraction`` and registrable in config filter chains."""
     if not 0 <= percent <= 100:
         raise ValueError("percent must be in [0, 100]")
 
@@ -81,7 +80,15 @@ def sample_fraction(ds: Dataset, key: str, percent: int,
         b = _buckets(as_combined(batch[key]), method)
         return batch.filter(pa.array(b < percent))
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return keep
+
+
+def sample_fraction(ds: Dataset, key: str, percent: int,
+                    method: str = "hash") -> Dataset:
+    """Keep rows whose bucket < percent — a reproducible ~percent% sample
+    (exact for modulo keying on dense ids)."""
+    return ds.map_batches(sample_batch_fn(key, percent, method),
+                          batch_format="pyarrow", zero_copy_batch=True)
 
 
 def stratified_sample(ds: Dataset, key: str, group: str,

@@ -182,3 +182,44 @@ def test_route_rules_support_full_predicate_language(ray_session):
                       ("xs", [("match", "s", "^x")])],
                      default_sink="rest")(t)
     assert out["route"].to_pylist() == ["xs", "big"]
+
+
+def test_config_round3_stages_pii_chunk_sample_decontaminate():
+    """The round-3 operators are pluggable through the config registry
+    (X1): a pipeline spec using them compiles and runs end-to-end."""
+    import ray
+
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"doc_id": 1, "text": "mail me at a@b.co please do"},
+            {"doc_id": 2, "text": "x y z " * 20},
+            {"doc_id": 3, "text": "the bench gram here now ok fine yes"},
+            {"doc_id": 4, "text": None},
+        ]},
+        "filters": [
+            {"type": "pii", "field": "text"},
+            {"type": "decontaminate", "field": "text", "id_field": "doc_id",
+             "grams": ["bench gram here"]},
+        ],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    out = p.transform(p.read()).to_pandas().set_index("doc_id")
+    assert out.loc[3, "n_hits"] == 1 and out.loc[1, "n_hits"] == 0
+
+    cfg2 = {
+        "input": cfg["input"],
+        "filters": [
+            {"type": "sample", "key": "doc_id", "percent": 100,
+             "method": "modulo"},
+            {"type": "chunk", "field": "text", "id_field": "doc_id",
+             "size": 8, "stride": 8},
+        ],
+        "outputs": [],
+    }
+    p2 = Pipeline.from_config(cfg2)
+    chunks = p2.transform(p2.read()).to_pandas()
+    assert (chunks[chunks.doc_id == 2].n_words.iloc[0] == 8)
+    assert 4 not in set(chunks.doc_id)  # null text emits nothing
