@@ -1916,6 +1916,45 @@ GROUP BY o_orderpriority
 """
 
 
+def q_asof_forward_events(sf_dir: str):
+    """FORWARD as-of join (earliest error at-or-after each event) —
+    the direction mirror of asof_join_events, same pure-Arrow
+    searchsorted co-group (`stages/asof.py`, direction='forward');
+    oracle via DuckDB ASOF JOIN with the reversed inequality."""
+    from ..stages.asof import asof_join_backward
+    from ..stages.filters import DropStage
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    left = ev.map_batches(
+        DropStage([("in", "event_type", ["click", "view"])], mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = ev.map_batches(
+        DropStage([("eq", "event_type", "error")], mode="keep"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join_backward(left, right, key="user_id", on="ts",
+                                right_values=[], direction="forward")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        err_us = pc.cast(pc.cast(as_combined(batch["ts_r"]),
+                                 pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "event_id": as_combined(batch["event_id"]),
+            "err_ts_us": err_us,
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF_FORWARD_EVENTS = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type IN ('click', 'view')),
+     r AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+SELECT l.event_id,
+       CAST(epoch_us(r.ts) AS BIGINT) AS err_ts_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -1926,6 +1965,7 @@ GROUP BY o_orderpriority
 # covered, not driver-run).
 QUERIES = {
     # --- round-3 new / previously driver-unverified ---
+    "asof_forward_events": q_asof_forward_events,
     "dedup_cluster_docs": q_dedup_cluster_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "chunk_docs": q_chunk_docs,
@@ -1937,7 +1977,6 @@ QUERIES = {
     "grouped_quantiles_events": q_grouped_quantiles_events,
     "inverted_index_docs": q_inverted_index_docs,
     "bloom_join": q_bloom_join,
-    "asof_join_events": q_asof_join_events,
     "asof_join_salted": q_asof_join_salted,
     "range_join_events": q_range_join_events,
     "sliding_window_counts": q_sliding_window_counts,
@@ -1983,7 +2022,9 @@ QUERIES = {
 # Redundant/secondary variants retired from the driver window (each
 # operator keeps a driver-verified entry above: unsalted windows ⊂
 # salted; word_extract/apache/multifield all exercise grok
-# (grok_parse + multifield stay in-window); flagship_conv/hourly ⊂
+# (grok_parse + multifield stay in-window); asof_join_events ⊂
+# asof_join_salted (same oracle, strictly more machinery) with
+# asof_forward_events covering the direction mirror; flagship_conv/hourly ⊂
 # route_events/flagship_sink_counts for A1; distinct_event_types ⊂
 # distinct_docs; broadcast_join ⊂ enrich_docs; the *_approx ANN modes
 # are recall-checked in pytest while the exact full-probe modes above
@@ -1997,6 +2038,7 @@ QUERIES = {
 # unproven round-3 operators). Still run by the local pytest oracle
 # gate.
 EXTRA_QUERIES = {
+    "asof_join_events": q_asof_join_events,
     "flagship_conv_counts": q_flagship_conv_counts,
     "distinct_docs": q_distinct_docs,
     "ann_lsh": q_ann_lsh,
@@ -2018,6 +2060,7 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "asof_forward_events": SQL_ASOF_FORWARD_EVENTS,
     "dedup_cluster_docs": SQL_DEDUP_CLUSTER_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,

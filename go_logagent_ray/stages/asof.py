@@ -64,19 +64,24 @@ def _on_int64(col) -> np.ndarray:
     return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def _merge_backward(lg: pa.Table, rg: pa.Table, on: str, on_r: str,
-                    left_cols: list[str],
-                    right_out: list[str]) -> tuple[pa.Table, pa.Table]:
-    """Pure-Arrow local backward as-of merge: sort both sides,
-    searchsorted picks the LAST right row with time ≤ each left time
-    (pd.merge_asof semantics), then two typed takes. Returns
+def _merge_asof(lg: pa.Table, rg: pa.Table, on: str, on_r: str,
+                left_cols: list[str], right_out: list[str],
+                direction: str = "backward") -> tuple[pa.Table, pa.Table]:
+    """Pure-Arrow local as-of merge: sort both sides, searchsorted picks
+    the LAST right row with time ≤ each left time (backward) or the
+    FIRST right row with time ≥ each left time (forward) —
+    pd.merge_asof semantics — then two typed takes. Returns
     (matched rows, unmatched left rows)."""
     l_on = _on_int64(lg[on])
     r_on = _on_int64(rg[on_r]) if rg.num_rows else np.zeros(0, np.int64)
     l_idx = np.argsort(l_on, kind="stable")
     r_idx = np.argsort(r_on, kind="stable")
-    pos = np.searchsorted(r_on[r_idx], l_on[l_idx], side="right") - 1
-    keep = pos >= 0
+    if direction == "backward":
+        pos = np.searchsorted(r_on[r_idx], l_on[l_idx], side="right") - 1
+        keep = pos >= 0
+    else:
+        pos = np.searchsorted(r_on[r_idx], l_on[l_idx], side="left")
+        keep = pos < len(r_on)
     lt = lg.take(pa.array(l_idx[keep]))
     rt = rg.take(pa.array(r_idx[pos[keep]]))
     cols = {c: lt[c] for c in left_cols}
@@ -84,6 +89,10 @@ def _merge_backward(lg: pa.Table, rg: pa.Table, on: str, on_r: str,
     matched = pa.table(cols)
     unmatched = lg.take(pa.array(l_idx[~keep]))
     return matched, unmatched
+
+
+def _merge_backward(lg, rg, on, on_r, left_cols, right_out):
+    return _merge_asof(lg, rg, on, on_r, left_cols, right_out, "backward")
 
 
 def asof_join_backward(
@@ -96,12 +105,20 @@ def asof_join_backward(
     suffix: str = "_r",
     salt_chunk: int | None = None,
     hot: set | None = None,
+    direction: str = "backward",
 ) -> Dataset:
-    """Inner backward as-of join. Output: every left column, plus
-    ``on+suffix`` (the matched right time) and each right-value column
-    (suffixed); left rows with no match drop (SQL ASOF JOIN inner
-    semantics). ``salt_chunk`` (in units of ``on``; µs for timestamps)
-    switches to the two-level salted path — see module docstring."""
+    """Inner as-of join (``direction``: "backward" = latest right ≤
+    left time, the default; "forward" = earliest right ≥ left time).
+    Output: every left column, plus ``on+suffix`` (the matched right
+    time) and each right-value column (suffixed); left rows with no
+    match drop (SQL ASOF JOIN inner semantics). ``salt_chunk`` (in
+    units of ``on``; µs for timestamps) switches to the two-level
+    salted path — see module docstring; the forward salted path is the
+    exact mirror (boundary row = the chunk's EARLIEST right; a pending
+    left can only match a LATER chunk's rights, all of which sit in
+    later boundary rows)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     on_r = on + suffix
     rv_out = [v + suffix for v in right_values]
 
@@ -169,9 +186,9 @@ def asof_join_backward(
     if chunk is None:
         def per_key(g: pa.Table) -> pa.Table:
             lg, rg = split_sides(g)
-            matched, _ = _merge_backward(
+            matched, _ = _merge_asof(
                 lg.select(left_cols), rg.select([on_r] + rv_out),
-                on, on_r, left_cols, [on_r] + rv_out)
+                on, on_r, left_cols, [on_r] + rv_out, direction)
             return matched
 
         return both.groupby(key).map_groups(per_key, batch_format="pyarrow")
@@ -187,8 +204,8 @@ def asof_join_backward(
         lg = lg.select(left_cols)
         rgk = rg.select([key, on_r] + rv_out)
         rg = rg.select([on_r] + rv_out)
-        matched, pending = _merge_backward(lg, rg, on, on_r, left_cols,
-                                           [on_r] + rv_out)
+        matched, pending = _merge_asof(lg, rg, on, on_r, left_cols,
+                                       [on_r] + rv_out, direction)
         pieces = [pad_to_schema({c: matched[c] for c in out_cols},
                                 union_types, matched.num_rows, 0)]
         if hot_set is not None and g.num_rows:
@@ -204,10 +221,12 @@ def asof_join_backward(
             pieces.append(pad_to_schema({c: pending[c] for c in left_cols},
                                         union_types, pending.num_rows, 1))
         if rgk.num_rows:
-            # boundary = the chunk's LATEST right row (last equal-time
-            # row in stable order, matching the local tie choice)
+            # boundary = the chunk's LATEST right row for backward
+            # (last equal-time row in stable order, matching the local
+            # tie choice) / EARLIEST for forward (first equal-time row)
             r_on = _on_int64(rgk[on_r])
-            bi = int(np.argsort(r_on, kind="stable")[-1])
+            order = np.argsort(r_on, kind="stable")
+            bi = int(order[-1] if direction == "backward" else order[0])
             b = rgk.slice(bi, 1)
             pieces.append(pad_to_schema(
                 {c: as_combined(b[c]) for c in [key, on_r] + rv_out},
@@ -238,8 +257,8 @@ def asof_join_backward(
         # chunk < c, and ALL boundary rights of earlier chunks have
         # strictly smaller time than any chunk-c left — so a plain
         # backward merge over boundary rows is exact
-        matched, _ = _merge_backward(lg, rg, on, on_r, left_cols,
-                                     [on_r] + rv_out)
+        matched, _ = _merge_asof(lg, rg, on, on_r, left_cols,
+                                 [on_r] + rv_out, direction)
         return matched
 
     late = rest.groupby(key).map_groups(stitch, batch_format="pyarrow")

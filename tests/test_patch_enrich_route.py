@@ -281,6 +281,29 @@ def test_asof_join_salted_matches_unsalted(ray_session):
                                          right_values=["state"], **kwargs))
         assert got == base, f"salted mismatch for {kwargs}"
 
+    # FORWARD direction: pandas-reference check + salted mirror
+    import pandas as pd
+
+    fwd = collect(asof_join_backward(left, right, key="k", on="t",
+                                     right_values=["state"],
+                                     direction="forward"))
+    ldf = pd.DataFrame({"k": lk, "t": lt, "lid": np.arange(n_l)}) \
+        .sort_values("t", kind="stable")
+    # carry the right time as a VALUE column so the matched time
+    # survives merge_asof (the on-column keeps the left value)
+    rdf = pd.DataFrame({"k": rk, "t": rt_, "rt": rt_}) \
+        .sort_values("t", kind="stable")
+    ref = pd.merge_asof(ldf, rdf, on="t", by="k", direction="forward")
+    want = {int(r.lid): int(r.rt) for r in ref.itertuples()
+            if not pd.isna(r.rt)}
+    assert fwd == want
+    for kwargs in ({"salt_chunk": 500}, {"salt_chunk": 1},
+                   {"salt_chunk": 500, "hot": {"hot"}}):
+        got = collect(asof_join_backward(left, right, key="k", on="t",
+                                         right_values=["state"],
+                                         direction="forward", **kwargs))
+        assert got == fwd, f"forward salted mismatch for {kwargs}"
+
 
 def test_range_join_buckets(ray_session):
     """Bucketed range join equals the brute-force containment join,
