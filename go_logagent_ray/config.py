@@ -102,25 +102,15 @@ def _json(conf: dict):
 @register_stage("pii")
 def _pii(conf: dict):
     """Scrub PII in place: rewrites ``field`` with redacted text and
-    appends n_email / n_phone / n_ip count columns."""
-    from .functions.pii import REDACTIONS
+    appends n_email / n_phone / n_ip count columns.  The scrub
+    semantics live in ONE place (``functions.pii.scrub_text``) shared
+    with the oracle-verified ``redact_pii``."""
+    from .functions.pii import scrub_text
 
     field = conf.get("field", "text")
 
     def scrub(batch):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        # an all-null block arrives as null TYPE (no string kernel);
-        # cast first — null values then flow through as null counts
-        # and null redacted text, matching SQL regexp_* on NULL
-        text = pc.cast(batch[field], pa.string())
-        red = text
-        counts = {}
-        for pat, token, cnt in REDACTIONS:
-            counts[cnt] = pc.cast(pc.count_substring_regex(text, pat),
-                                  pa.int64())
-            red = pc.replace_substring_regex(red, pat, token)
+        red, counts = scrub_text(batch[field])
         out = batch.set_column(batch.column_names.index(field), field, red)
         for cnt, arr in counts.items():
             out = out.append_column(cnt, arr)

@@ -51,21 +51,31 @@ PII_LINES = [
 ]
 
 
+def scrub_text(text) -> tuple:
+    """The ONE definition of the scrub semantics, shared by
+    ``redact_pii`` and the config-registry ``pii`` stage: counts on the
+    ORIGINAL text, redaction applied in fixed email → phone → ip
+    order.  The cast guards all-null blocks (null TYPE has no string
+    kernels); null text yields null counts + null redacted, matching
+    SQL regexp_* on NULL.  Returns (redacted, {count_name: array})."""
+    text = pc.cast(text, pa.string())
+    red = text
+    counts = {}
+    for pat, token, cnt_name in REDACTIONS:
+        counts[cnt_name] = pc.cast(
+            pc.count_substring_regex(text, pat), pa.int64())
+        red = pc.replace_substring_regex(red, pat, token)
+    return red, counts
+
+
 def redact_pii(ds: Dataset, *, text_field: str = "text",
                id_field: str = "row_id") -> Dataset:
     """(row_id, redacted, n_email, n_phone, n_ip) per row."""
 
     def scrub(batch: pa.Table) -> pa.Table:
-        # cast guards the all-null-block case (null TYPE has no string
-        # kernels); null text yields null counts + null redacted,
-        # matching SQL regexp_* on NULL
-        text = pc.cast(batch.column(text_field), pa.string())
+        red, counts = scrub_text(batch.column(text_field))
         cols = {id_field: batch.column(id_field)}
-        red = text
-        for pat, token, cnt_name in REDACTIONS:
-            cols[cnt_name] = pc.cast(
-                pc.count_substring_regex(text, pat), pa.int64())
-            red = pc.replace_substring_regex(red, pat, token)
+        cols.update(counts)
         cols["redacted"] = red
         return pa.table(cols)
 

@@ -64,14 +64,16 @@ class IncrementalRunner:
 
     def process_chunk(self, table: pa.Table) -> dict:
         """Convenience wrapper: one in-memory Arrow chunk (e.g. from a
-        socket source's poll loop)."""
+        socket source's poll loop).  Deliberately does NOT pass a row
+        count: both call paths must share the post-filter-count
+        semantics (a chunk whose rows are all dropped by the parse
+        chain writes no chunk dir and reports rows=0 either way)."""
         import ray.data as rd
 
         if table.num_rows == 0:
             # nothing arrived this tick — no chunk dir, no state update
             return {"chunk": self.chunk_idx, "rows": 0, "groups_touched": 0}
-        return self.process_chunk_dataset(rd.from_arrow(table),
-                                          n_rows=table.num_rows)
+        return self.process_chunk_dataset(rd.from_arrow(table))
 
     def process_chunk_dataset(self, ds, n_rows: int | None = None) -> dict:
         """Parse→enrich→route one chunk DATASET; append sinks; update

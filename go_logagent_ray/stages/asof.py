@@ -91,10 +91,6 @@ def _merge_asof(lg: pa.Table, rg: pa.Table, on: str, on_r: str,
     return matched, unmatched
 
 
-def _merge_backward(lg, rg, on, on_r, left_cols, right_out):
-    return _merge_asof(lg, rg, on, on_r, left_cols, right_out, "backward")
-
-
 def asof_join_backward(
     left: Dataset,
     right: Dataset,
