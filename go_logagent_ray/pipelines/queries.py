@@ -1955,6 +1955,37 @@ FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 """
 
 
+def q_heavy_hitters_terms(sf_dir: str):
+    """Misra–Gries heavy hitters over all term occurrences
+    (`stages/sketch.py::heavy_hitters`): per-batch vectorized counts +
+    MG compress, ≤ k rows shuffle per block.  The synthetic vocabulary
+    (31 terms) is ≤ k=64, so the sketch is EXACT here and the oracle is
+    a plain GROUP BY; the error bound n/(k+1) governs the general
+    case."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def terms(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        out = (df.with_columns(pl.col("text").str.split(" ").alias("_t"))
+               .select("_t").explode("_t"))
+        return pa.table({"term": out["_t"].to_arrow().cast(pa.string())})
+
+    from ..stages.sketch import heavy_hitters
+
+    rows = ds.map_batches(terms, batch_format="pyarrow")
+    out = heavy_hitters(rows, "term", k=64, min_count=5)
+    return out.rename(columns={"v": "term"})
+
+
+SQL_HEAVY_HITTERS_TERMS = """
+SELECT term, COUNT(*) AS est_count
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term HAVING COUNT(*) >= 5
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -2038,6 +2069,7 @@ QUERIES = {
 # unproven round-3 operators). Still run by the local pytest oracle
 # gate.
 EXTRA_QUERIES = {
+    "heavy_hitters_terms": q_heavy_hitters_terms,
     "asof_join_events": q_asof_join_events,
     "flagship_conv_counts": q_flagship_conv_counts,
     "distinct_docs": q_distinct_docs,
@@ -2060,6 +2092,7 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "heavy_hitters_terms": SQL_HEAVY_HITTERS_TERMS,
     "asof_forward_events": SQL_ASOF_FORWARD_EVENTS,
     "dedup_cluster_docs": SQL_DEDUP_CLUSTER_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,

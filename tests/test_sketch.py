@@ -123,3 +123,29 @@ def test_grouped_quantiles_negative_and_nan():
     # -1.005*100+0.5 = -100.0 floor -> -100); p50 idx=ceil(6*.5)-1=2 -> 0
     assert out.loc["a", "p50"] == 0 and out.loc["a", "p100"] == 200
     assert out.loc["b", "p50"] == 2000 and out.loc["b", "p100"] == 3000
+
+
+def test_heavy_hitters_exact_when_distinct_fits_and_bounded_error():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from go_logagent_ray.stages.sketch import heavy_hitters
+
+    # exact regime: distinct <= k
+    vals = ["a"] * 100 + ["b"] * 50 + ["c"] * 7 + ["d"] * 1
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.string())}))
+    out = heavy_hitters(ds, "v", k=8, min_count=2)
+    got = dict(zip(out.v, out.est_count))
+    assert got == {"a": 100, "b": 50, "c": 7}
+
+    # bounded-error regime: distinct >> k; heavy value must survive
+    rng = np.random.default_rng(9)
+    tail = [f"t{i}" for i in rng.integers(0, 5000, 20_000)]
+    vals2 = ["HOT"] * 4000 + tail
+    ds2 = ray.data.from_arrow(pa.table({"v": pa.array(vals2, pa.string())}))
+    out2 = heavy_hitters(ds2, "v", k=64, min_count=1)
+    got2 = dict(zip(out2.v, out2.est_count))
+    n = len(vals2)
+    assert "HOT" in got2
+    assert 4000 - n // 65 <= got2["HOT"] <= 4000
