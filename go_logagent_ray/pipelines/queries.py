@@ -1986,6 +1986,38 @@ GROUP BY term HAVING COUNT(*) >= 5
 """
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (`stages/ann.py::quantize_embeddings_int8`); integer summary per
+    vector compared bit-exact against the same math in SQL (ROUND
+    half-away, identical float64 op order)."""
+    from ..stages.ann import quantize_embeddings_int8
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return quantize_embeddings_int8(ds)
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(CASE WHEN s = 0 THEN 0
+                                  ELSE ROUND(x * 127 / s) END AS BIGINT))
+           AS ql
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS s
+        FROM embeddings)
+)
+SELECT vec_id,
+       CAST(list_sum(ql) AS BIGINT) AS qsum,
+       CAST(list_sum(list_transform(ql, x -> abs(x))) AS BIGINT) AS ql1,
+       CAST(list_min(ql) AS BIGINT) AS qmin,
+       CAST(list_max(ql) AS BIGINT) AS qmax
+FROM q
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -2070,6 +2102,7 @@ QUERIES = {
 # gate.
 EXTRA_QUERIES = {
     "heavy_hitters_terms": q_heavy_hitters_terms,
+    "quantize_embeddings": q_quantize_embeddings,
     "asof_join_events": q_asof_join_events,
     "flagship_conv_counts": q_flagship_conv_counts,
     "distinct_docs": q_distinct_docs,
@@ -2093,6 +2126,7 @@ EXTRA_QUERIES = {
 
 ORACLE_SQL = {
     "heavy_hitters_terms": SQL_HEAVY_HITTERS_TERMS,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "asof_forward_events": SQL_ASOF_FORWARD_EVENTS,
     "dedup_cluster_docs": SQL_DEDUP_CLUSTER_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,

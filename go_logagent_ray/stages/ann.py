@@ -395,3 +395,41 @@ def lsh_topk(
     return candidates.groupby("query_id").map_groups(
         reduce_topk, batch_format="pandas"
     )
+
+
+# ----------------------------------------------------- int8 quantization
+
+
+def quantize_embeddings_int8(ds: Dataset, *, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> Dataset:
+    """Symmetric per-vector int8 quantization — the memory-scale path
+    for ANN (a 100 TB float32 embedding store shrinks 4× and the
+    distance kernels stay SIMD-friendly): q_i = round(v_i · 127 / s)
+    with s = max|v_i| (zero vectors quantize to zeros).
+
+    Rounding is half-AWAY-from-zero (sign·floor(|x|+0.5)) to match SQL
+    ROUND, and the scale math runs the same op order in float64 on both
+    sides, so the integers compare bit-exact.  Output per vector is the
+    compact integer summary (sum, |sum|, min, max) — any per-element
+    quantization difference shifts at least one of them.
+
+    Pure per-batch map over a zero-copy flattened matrix; no shuffle.
+    """
+
+    def quant(batch: pa.Table) -> pa.Table:
+        m = _fixed_matrix(batch.column(vec_col), dtype=np.float64)
+        s = np.abs(m).max(axis=1)
+        safe = np.where(s == 0, 1.0, s)
+        x = m * 127.0 / safe[:, None]
+        q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        q[s == 0] = 0
+        return pa.table({
+            id_col: batch.column(id_col),
+            "qsum": pa.array(q.sum(axis=1), pa.int64()),
+            "ql1": pa.array(np.abs(q).sum(axis=1), pa.int64()),
+            "qmin": pa.array(q.min(axis=1), pa.int64()),
+            "qmax": pa.array(q.max(axis=1), pa.int64()),
+        })
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)

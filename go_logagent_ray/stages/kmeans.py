@@ -79,10 +79,10 @@ def kmeans_fit_predict(ds: Dataset, *, k: int = KMEANS_K,
         ref = ray.put(cents)
 
         def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            from .ann import _fixed_matrix
+
             c = ray.get(_ref)
-            vecs = np.array(
-                [np.asarray(v, dtype=np.float64)
-                 for v in batch.column(vec_col).to_pylist()])
+            vecs = _fixed_matrix(batch.column(vec_col), dtype=np.float64)
             a = _assign_ids(vecs, c)
             kk, d = c.shape
             sums = np.zeros((kk, d))
@@ -111,10 +111,10 @@ def kmeans_fit_predict(ds: Dataset, *, k: int = KMEANS_K,
     ref = ray.put(cents)
 
     def assign(batch: pa.Table, _ref=ref) -> pa.Table:
+        from .ann import _fixed_matrix
+
         c = ray.get(_ref)
-        vecs = np.array(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch.column(vec_col).to_pylist()])
+        vecs = _fixed_matrix(batch.column(vec_col), dtype=np.float64)
         a = _assign_ids(vecs, c)
         return pa.table({id_col: batch.column(id_col),
                          "cluster": pa.array(a.astype(np.int64))})
