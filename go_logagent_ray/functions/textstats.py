@@ -88,6 +88,65 @@ def quality_stats(batch: pa.Table, field: str = "text") -> pa.Table:
     return batch
 
 
+def repetition_stats(batch: pa.Table, field: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals per document (the
+    duplicate-n-gram family of filters from the Gopher/MassiveText
+    curation recipe), INTEGER components only so the oracle hash is
+    exact; consumers derive the fractions (dup_bigrams/n_bigrams,
+    top_bigram_n/n_bigrams) themselves.
+
+    Adds: n_toks (whitespace tokens), n_bigrams (bigram occurrences),
+    dup_bigrams (occurrences belonging to a bigram seen >1 time in the
+    doc), top_bigram_n (count of the doc's most frequent bigram),
+    uniq_bigrams (distinct bigrams). All int64; 0 for docs with <2
+    tokens. Tokenization is the shared ``_tokenize_flat`` (lowercase +
+    ASCII-whitespace split) so the SQL oracle's string_split_regex
+    matches bit-identically.
+
+    Fully vectorized: one polars group_by over (row, bigram) per batch;
+    per-doc work only, no shuffle — embarrassingly parallel at 100 TB.
+    """
+    import polars as pl
+
+    from ..stages.dedup import _tokenize_flat
+
+    n = batch.num_rows
+    flat, offsets = _tokenize_flat(batch[field])
+    lens = np.diff(offsets)
+    n_toks = lens.astype(np.int64)
+    n_big = np.zeros(n, dtype=np.int64)
+    dup_big = np.zeros(n, dtype=np.int64)
+    top_big = np.zeros(n, dtype=np.int64)
+    uniq_big = np.zeros(n, dtype=np.int64)
+    if len(flat) > 1:
+        row_of = np.repeat(np.arange(n), lens)
+        # position i starts a bigram iff i+1 is in the same row
+        starts = np.nonzero(row_of[:-1] == row_of[1:])[0]
+        if starts.size:
+            bg = (flat.gather(starts) + " " + flat.gather(starts + 1))
+            per = (
+                pl.DataFrame({"row": row_of[starts], "bg": bg})
+                .group_by(["row", "bg"]).len()
+                .group_by("row")
+                .agg(
+                    n_big=pl.col("len").sum(),
+                    dup_big=pl.col("len").filter(pl.col("len") > 1).sum(),
+                    top_big=pl.col("len").max(),
+                    uniq_big=pl.len(),
+                )
+            )
+            rows = per["row"].to_numpy()
+            n_big[rows] = per["n_big"].to_numpy()
+            dup_big[rows] = per["dup_big"].fill_null(0).to_numpy()
+            top_big[rows] = per["top_big"].to_numpy()
+            uniq_big[rows] = per["uniq_big"].to_numpy()
+    for name, arr in (("n_toks", n_toks), ("n_bigrams", n_big),
+                      ("dup_bigrams", dup_big), ("top_bigram_n", top_big),
+                      ("uniq_bigrams", uniq_big)):
+        batch = set_column(batch, name, pa.array(arr, type=pa.int64()))
+    return batch
+
+
 def lang_id(batch: pa.Table, field: str = "text", out: str = "pred_lang") -> pa.Table:
     """Vectorized n-gram/stopword language ID over {en,de,fr,es,zh}.
 

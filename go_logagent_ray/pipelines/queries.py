@@ -1098,6 +1098,38 @@ LIMIT 100
 """
 
 
+def q_conv_rebuild(sf_dir: str):
+    """Conversation reconstruction (turn stream -> whole-conversation
+    rows): per-conv turn count, joined length, and an md5 digest of the
+    turn texts concatenated in (turn_idx) order — the per-turn text
+    equality invariant at conversation granularity. Any dropped,
+    reordered, or byte-altered turn changes the digest vs the SQL
+    ``string_agg(text ORDER BY turn_idx)`` oracle."""
+    from ..stages.rebuild import rebuild_conversations
+
+    return rebuild_conversations(transcripts_from_events(sf_dir))
+
+
+SQL_CONV_REBUILD = """
+WITH t AS (
+  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+         event_id AS turn_idx,
+         (CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END)
+         || ' executor conv=c' || CAST(user_id AS VARCHAR)
+         || ' step=' || CAST(event_id AS VARCHAR)
+         || ' latency_ms=' || CAST(event_id AS VARCHAR)
+         || ' status=' || (CASE WHEN event_type = 'error' THEN 'err' ELSE 'ok' END)
+         || ' :: payload' AS text
+  FROM events)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT)
+         AS n_chars,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5
+FROM t GROUP BY conv_id
+"""
+
+
 def q_conv_gap_stats_salted(sf_dir: str):
     """P + W wired together: the hot-key census (stages/partition.py)
     picks skewed keys; conv_gap_stats runs the salted two-level assoc
@@ -1263,6 +1295,50 @@ def q_incremental_counts(sf_dir: str):
         if runner is not None:
             runner.shutdown()
         shutil.rmtree(work, ignore_errors=True)
+
+
+def q_repetition_stats_docs(sf_dir: str):
+    """Gopher-style repetition quality filters: per-doc duplicate-bigram
+    occurrence counts, top-bigram count, distinct bigrams — all integer
+    components hash-checked against a DuckDB unnest+groupby oracle over
+    the same lowercase ASCII-whitespace tokenization."""
+    from ..functions.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(repetition_stats, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "n_toks", "n_bigrams",
+                              "dup_bigrams", "top_bigram_n",
+                              "uniq_bigrams"])
+
+
+SQL_REPETITION_STATS_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i+1]) END) AS g
+  FROM toks),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+           AS dup_bigrams,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         CAST(COUNT(*) AS BIGINT) AS uniq_bigrams
+  FROM cnt GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_toks,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.dup_bigrams, 0) AS dup_bigrams,
+       COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
+       COALESCE(a.uniq_bigrams, 0) AS uniq_bigrams
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def q_quality_stats_docs(sf_dir: str):
@@ -2028,6 +2104,8 @@ FROM q
 # covered, not driver-run).
 QUERIES = {
     # --- round-3 new / previously driver-unverified ---
+    "conv_rebuild": q_conv_rebuild,
+    "repetition_stats_docs": q_repetition_stats_docs,
     "asof_forward_events": q_asof_forward_events,
     "dedup_cluster_docs": q_dedup_cluster_docs,
     "decontaminate_docs": q_decontaminate_docs,
@@ -2077,9 +2155,7 @@ QUERIES = {
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
     "session_windows_salted": q_session_windows_salted,
     "incremental_counts": q_incremental_counts,
-    "quality_stats_docs": q_quality_stats_docs,
     "media_frames_docs": q_media_frames_docs,
-    "split_sample_docs": q_split_sample_docs,
 }
 
 # Redundant/secondary variants retired from the driver window (each
@@ -2101,6 +2177,11 @@ QUERIES = {
 # unproven round-3 operators). Still run by the local pytest oracle
 # gate.
 EXTRA_QUERIES = {
+    # quality_stats' integer components ⊂ repetition_stats' driver row
+    # (both are the F-quality family); split_sample ⊂ stratified_sample
+    # (same hash-split machinery, stratified adds the per-group quota)
+    "quality_stats_docs": q_quality_stats_docs,
+    "split_sample_docs": q_split_sample_docs,
     "heavy_hitters_terms": q_heavy_hitters_terms,
     "quantize_embeddings": q_quantize_embeddings,
     "asof_join_events": q_asof_join_events,
@@ -2125,6 +2206,8 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "conv_rebuild": SQL_CONV_REBUILD,
+    "repetition_stats_docs": SQL_REPETITION_STATS_DOCS,
     "heavy_hitters_terms": SQL_HEAVY_HITTERS_TERMS,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "asof_forward_events": SQL_ASOF_FORWARD_EVENTS,

@@ -1,0 +1,67 @@
+"""Conversation reconstruction: turns -> one row per conversation.
+
+The north-star invariant (BASELINE.json ``input_hint``) is per-turn
+TEXT EQUALITY under stable (conv_id, turn_idx) ordering. This stage
+proves it at conversation granularity: each conversation's turns are
+concatenated in turn order and digested with md5, so any reordering,
+dropped turn, or single-byte text difference changes the digest. The
+same operation is the first step of training-data assembly (turn
+stream -> whole-conversation documents).
+
+Scale: one ``groupby(conv_id).map_groups`` task per conversation.
+Per-group memory is bounded by the conversation's own length (a
+conversation must fit in one context anyway), so skew across
+conversations affects task balance only, never memory; consult the
+top-k hot-key census (stages/partition.py) upstream if a pathological
+conversation dominates. The digest is order-sensitive and therefore
+NOT mergeable across chunks - this is inherently a co-located-group
+operator, unlike the mergeable window stats in stages/window.py.
+
+Reference parity: go-logagent keeps no cross-event state, so this has
+no reference analog [U]; it exists for the transcript-assembly side of
+the north star.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def rebuild_conversations(ds: Dataset, *, conv_col: str = "conv_id",
+                          order_col: str = "turn_idx",
+                          text_col: str = "text",
+                          sep: str = "\n") -> Dataset:
+    """One row per conversation: (conv_id, n_turns:int64, n_chars:int64,
+    text_md5:string) where text_md5 is md5 of the turn texts joined by
+    ``sep`` in stable ``order_col`` order and n_chars is the joined
+    length in code points (== DuckDB ``length(string_agg(...))``).
+
+    Null-turn semantics mirror SQL ``string_agg``: null texts are
+    skipped from the concatenation (no separator for them) while
+    ``n_turns`` still counts every row; a conversation whose turns are
+    ALL null gets null ``n_chars``/``text_md5`` (string_agg -> NULL)."""
+
+    def one(group: pa.Table) -> pa.Table:
+        order = np.argsort(
+            np.asarray(group.column(order_col)), kind="stable")
+        texts = group.column(text_col).to_pylist()
+        present = [texts[i] for i in order if texts[i] is not None]
+        if present:
+            joined = sep.join(present)
+            n_chars, md5 = len(joined), hashlib.md5(
+                joined.encode("utf-8")).hexdigest()
+        else:
+            n_chars, md5 = None, None
+        return pa.table({
+            conv_col: group.column(conv_col).slice(0, 1),
+            "n_turns": pa.array([group.num_rows], pa.int64()),
+            "n_chars": pa.array([n_chars], pa.int64()),
+            "text_md5": pa.array([md5], pa.string()),
+        })
+
+    return ds.groupby(conv_col).map_groups(one, batch_format="pyarrow")

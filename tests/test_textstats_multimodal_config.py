@@ -223,3 +223,67 @@ def test_config_round3_stages_pii_chunk_sample_decontaminate():
     chunks = p2.transform(p2.read()).to_pandas()
     assert (chunks[chunks.doc_id == 2].n_words.iloc[0] == 8)
     assert 4 not in set(chunks.doc_id)  # null text emits nothing
+
+
+def test_repetition_stats():
+    from go_logagent_ray.functions.textstats import repetition_stats
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": [
+            "a b a b a b",          # bigrams: ab,ba,ab,ba,ab -> all dup
+            "one two three four",   # 3 distinct bigrams, no dups
+            "solo",                 # <2 tokens -> all zeros
+            "",                     # empty -> all zeros
+        ],
+    })
+    out = repetition_stats(tbl)
+    assert out["n_toks"].to_pylist() == [6, 4, 1, 0]
+    assert out["n_bigrams"].to_pylist() == [5, 3, 0, 0]
+    # doc 0: "a b" x3 + "b a" x2, every occurrence belongs to a dup bigram
+    assert out["dup_bigrams"].to_pylist() == [5, 0, 0, 0]
+    assert out["top_bigram_n"].to_pylist() == [3, 1, 0, 0]
+    assert out["uniq_bigrams"].to_pylist() == [2, 3, 0, 0]
+
+
+def test_rebuild_conversations(ray_session):
+    import hashlib
+
+    import ray.data as rd
+    from pandas import isna as pd_isna
+
+    from go_logagent_ray.stages.rebuild import rebuild_conversations
+
+    rows = [  # deliberately shuffled turn order within c1
+        {"conv_id": "c1", "turn_idx": 2, "text": "third"},
+        {"conv_id": "c1", "turn_idx": 0, "text": "first"},
+        {"conv_id": "c2", "turn_idx": 0, "text": "only"},
+        {"conv_id": "c1", "turn_idx": 1, "text": "second"},
+    ]
+    out = (rebuild_conversations(rd.from_items(rows))
+           .to_pandas().set_index("conv_id"))
+    joined = "first\nsecond\nthird"
+    assert out.loc["c1", "n_turns"] == 3
+    assert out.loc["c1", "n_chars"] == len(joined)
+    assert out.loc["c1", "text_md5"] == hashlib.md5(
+        joined.encode()).hexdigest()
+    assert out.loc["c2", "text_md5"] == hashlib.md5(b"only").hexdigest()
+    # digest is order-sensitive: a swapped turn changes it
+    rows_swapped = [dict(r) for r in rows]
+    rows_swapped[0]["turn_idx"], rows_swapped[1]["turn_idx"] = 0, 2
+    out2 = (rebuild_conversations(rd.from_items(rows_swapped))
+            .to_pandas().set_index("conv_id"))
+    assert out2.loc["c1", "text_md5"] != out.loc["c1", "text_md5"]
+    # null turns: skipped from the digest (SQL string_agg parity), still
+    # counted in n_turns; all-null conv -> null digest
+    rows_null = [
+        {"conv_id": "n1", "turn_idx": 0, "text": "a"},
+        {"conv_id": "n1", "turn_idx": 1, "text": None},
+        {"conv_id": "n1", "turn_idx": 2, "text": "b"},
+        {"conv_id": "n2", "turn_idx": 0, "text": None},
+    ]
+    out3 = (rebuild_conversations(rd.from_items(rows_null))
+            .to_pandas().set_index("conv_id"))
+    assert out3.loc["n1", "n_turns"] == 3
+    assert out3.loc["n1", "text_md5"] == hashlib.md5(b"a\nb").hexdigest()
+    assert pd_isna(out3.loc["n2", "text_md5"])
