@@ -154,6 +154,8 @@ def bench_queries() -> dict[str, float]:
         "grouped_quantiles_events",  # quantized exact grouped quantiles (r3)
         "inverted_index_docs",    # sharded postings build (r3)
         "bloom_join",             # bloom-prefiltered hash join (r3)
+        "conv_rebuild",           # conversation reconstruction digest (r3)
+        "repetition_stats_docs",  # Gopher repetition quality filters (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:

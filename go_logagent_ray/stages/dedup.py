@@ -685,6 +685,7 @@ def ngram_jaccard_pairs_lsh(
     bands: int = 16,
     candidate_threshold: float = 0.0,
     pair_shards: int = 64,
+    broadcast_limit_bytes: int = 128 << 20,
 ) -> Dataset:
     """GLOBAL exact word-n-gram Jaccard near-dup pairs: MinHash-LSH
     candidate generation + DISTRIBUTED exact verification — the scale
@@ -699,12 +700,15 @@ def ngram_jaccard_pairs_lsh(
     ``ray.put`` once — the same broadcast regime as
     ``exact_dedup_broadcast``), streams the corpus through a vectorized
     membership filter, and computes each candidate's n-gram STRING set
-    once. The gram lists are then attached to the pairs by TWO
+    once. When the candidate gram table fits
+    ``broadcast_limit_bytes`` it is broadcast whole (``ray.put`` once)
+    and verification is a single shuffle-free ``map_batches``;
+    otherwise the gram lists are attached to the pairs by TWO
     hash-partitioned co-group joins (``id % pair_shards`` — bounded
     groups, vectorized ``index_in``/``take`` attach), and the exact
-    verify runs inside ``map_batches`` over the pair stream. No text or
-    gram set ever lands on the driver; per-task state is one shard of
-    candidates, not the candidate set. The Jaccard test is integer math
+    verify runs inside ``map_batches`` over the pair stream — per-task
+    state is one shard of candidates, never the candidate set, at ANY
+    dup rate. The Jaccard test is integer math
     (``inter·1000 ≥ threshold_permille·union``) so it is bit-exact
     against a SQL oracle. Returns (doc_a, doc_b, n_inter, n_union).
 
@@ -776,6 +780,46 @@ def ngram_jaccard_pairs_lsh(
     grams = ds.map_batches(gram_rows, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
 
+    def _verify_cols(a, b, ga, gb):
+        """Shared exact-verify kernel: integer-math Jaccard over two
+        gram-list columns; returns the filtered output table."""
+        oa, ob, ni, nu = [], [], [], []
+        for x, y, sa, sb in zip(a, b, ga, gb):
+            sa = set(sa or ())
+            sb = set(sb or ())
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union > 0 and inter * 1000 >= threshold_permille * union:
+                oa.append(x); ob.append(y); ni.append(inter); nu.append(union)
+        return pa.table({
+            "doc_a": pa.array(oa, type=pa.int64()),
+            "doc_b": pa.array(ob, type=pa.int64()),
+            "n_inter": pa.array(ni, type=pa.int64()),
+            "n_union": pa.array(nu, type=pa.int64()),
+        })
+
+    # Small-candidate regime (size-gated, same broadcast contract as
+    # exact_dedup_broadcast / embedding_neardup_pairs): when the whole
+    # candidate gram table fits the broadcast budget, ship it ONCE via
+    # ray.put and verify pairs in a single map_batches — zero extra
+    # shuffles. Above the budget the fully distributed two-pass attach
+    # below runs instead, so driver/worker memory stays bounded by a
+    # shard at any candidate volume (the round-2 scale concern).
+    if grams.size_bytes() <= broadcast_limit_bytes:
+        gt = pa.concat_tables(grams.iter_batches(batch_format="pyarrow"),
+                              promote_options="default")
+        gram_map = dict(zip(gt["_jk"].to_pylist(), gt["_grams"].to_pylist()))
+        gref = ray.put(gram_map)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            gm = ray.get(gref)
+            a = as_combined(batch["doc_a"]).to_pylist()
+            b = as_combined(batch["doc_b"]).to_pylist()
+            return _verify_cols(a, b, (gm.get(x) for x in a),
+                                (gm.get(y) for y in b))
+
+        return cands.map_batches(verify_bcast, batch_format="pyarrow")
+
     def attach(pairs: Dataset, key_col: str, out_col: str,
                pair_types: dict) -> Dataset:
         """Hash-partitioned attach: co-group pair rows with the gram
@@ -830,24 +874,10 @@ def ngram_jaccard_pairs_lsh(
                       "_ga": _GRAMS_TYPE})
 
     def verify(batch: pa.Table) -> pa.Table:
-        a = as_combined(batch["doc_a"]).to_pylist()
-        b = as_combined(batch["doc_b"]).to_pylist()
-        ga = as_combined(batch["_ga"]).to_pylist()
-        gb = as_combined(batch["_gb"]).to_pylist()
-        oa, ob, ni, nu = [], [], [], []
-        for x, y, sa, sb in zip(a, b, ga, gb):
-            sa = set(sa or ())
-            sb = set(sb or ())
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            if union > 0 and inter * 1000 >= threshold_permille * union:
-                oa.append(x); ob.append(y); ni.append(inter); nu.append(union)
-        return pa.table({
-            "doc_a": pa.array(oa, type=pa.int64()),
-            "doc_b": pa.array(ob, type=pa.int64()),
-            "n_inter": pa.array(ni, type=pa.int64()),
-            "n_union": pa.array(nu, type=pa.int64()),
-        })
+        return _verify_cols(as_combined(batch["doc_a"]).to_pylist(),
+                            as_combined(batch["doc_b"]).to_pylist(),
+                            as_combined(batch["_ga"]).to_pylist(),
+                            as_combined(batch["_gb"]).to_pylist())
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
 

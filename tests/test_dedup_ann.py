@@ -261,6 +261,13 @@ def test_ngram_jaccard_lsh_verified(docs_with_dups, tmp_path):
     assert (2, 62) in out
     ni, nu = out[(2, 62)]
     assert ni * 1000 >= 800 * nu
+    # broadcast_limit_bytes=0 forces the fully distributed two-pass
+    # attach (the >budget regime); results must be identical
+    dist = {(r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+            for r in ngram_jaccard_pairs_lsh(
+                ds, threshold_permille=800,
+                broadcast_limit_bytes=0).take_all()}
+    assert dist == out
 
 
 def test_ivf_default_train_samples_corpus(embeddings_ds):
