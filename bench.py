@@ -149,7 +149,7 @@ def bench_queries() -> dict[str, float]:
         "dedup_cluster_docs",     # iterative connected components (r3)
         "chunk_docs",             # doc → training-window explode (r3)
         "pack_docs",              # greedy sequence packing (r3)
-        "kmeans_embeddings",      # distributed quantized Lloyd (r3)
+        "semdedup_embeddings",    # k-means + within-cluster cosine (r3)
         "decontaminate_docs",     # broadcast blocklist matching (r3)
         "grouped_quantiles_events",  # quantized exact grouped quantiles (r3)
         "inverted_index_docs",    # sharded postings build (r3)

@@ -1873,6 +1873,40 @@ def _sql_kmeans_embeddings() -> str:
 SQL_KMEANS_EMBEDDINGS = _sql_kmeans_embeddings()
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs: distributed k-means
+    (same fit+assign as ``kmeans_embeddings`` — that query's machinery
+    is a strict subset of this one) then exact cosine pairs WITHIN each
+    cluster only; one shuffle moves each vector once. τ=0.4 sits in a
+    measured gap of the within-cluster sim distribution (min |s-τ| ≥
+    2.5e-5 across sf0.001–0.1 — far above double-precision drift vs
+    DuckDB ``list_cosine_similarity``)."""
+    from ..stages.dedup import semdedup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup_pairs(ds, threshold=0.4, k=8, iters=3)
+
+
+def _sql_semdedup_embeddings() -> str:
+    from ..stages.kmeans import kmeans_oracle_sql
+
+    return f"""
+WITH assign AS (
+{kmeans_oracle_sql(k=8, iters=3)}
+)
+SELECT a1.cluster, a1.vec_id AS doc_a, a2.vec_id AS doc_b
+FROM assign a1
+JOIN assign a2 ON a1.cluster = a2.cluster AND a2.vec_id > a1.vec_id
+JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                             CAST(e2.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+SQL_SEMDEDUP_EMBEDDINGS = _sql_semdedup_embeddings()
+
+
 def q_grouped_quantiles_events(sf_dir: str):
     """Exact grouped p50/p90/p99 of value (in cents) per event_type:
     per-batch (group, quantized, count) partials shuffle — never raw
@@ -2114,7 +2148,7 @@ QUERIES = {
     "pack_docs": q_pack_docs,
     "pii_redact_docs": q_pii_redact_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
-    "kmeans_embeddings": q_kmeans_embeddings,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "grouped_quantiles_events": q_grouped_quantiles_events,
     "inverted_index_docs": q_inverted_index_docs,
     "bloom_join": q_bloom_join,
@@ -2182,6 +2216,9 @@ EXTRA_QUERIES = {
     # (same hash-split machinery, stratified adds the per-group quota)
     "quality_stats_docs": q_quality_stats_docs,
     "split_sample_docs": q_split_sample_docs,
+    # kmeans fit+assign ⊂ semdedup_embeddings (its oracle embeds the
+    # full kmeans assignment CTE)
+    "kmeans_embeddings": q_kmeans_embeddings,
     "heavy_hitters_terms": q_heavy_hitters_terms,
     "quantize_embeddings": q_quantize_embeddings,
     "asof_join_events": q_asof_join_events,
@@ -2219,6 +2256,7 @@ ORACLE_SQL = {
     "pii_redact_docs": SQL_PII_REDACT_DOCS,
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+    "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "bloom_join": SQL_BLOOM_JOIN,

@@ -622,6 +622,85 @@ def embedding_neardup_pairs(
     return ds.map_batches(batch_pairs, batch_format="pyarrow")
 
 
+def semdedup_pairs(
+    ds: Dataset,
+    *,
+    threshold: float = 0.4,
+    k: int = 8,
+    iters: int = 3,
+    id_field: str = "vec_id",
+    vec_field: str = "embedding",
+    max_cluster_size: int = 65536,
+) -> Dataset:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means the embedding space,
+    then find cosine-similar pairs WITHIN each cluster only.
+
+    Scale shape — this is the scale path past
+    ``embedding_neardup_pairs``'s broadcast-corpus regime: centroids
+    are fit with the shuffle-free distributed Lloyd
+    (``stages/kmeans.kmeans_fit`` — corpus never moves, only k·d
+    partials), assignment + vector keep is one ``map_batches`` pass,
+    and the ONLY shuffle moves each vector once to its cluster's task.
+    Pairwise work is O(|cluster|²) per cluster, never corpus²; at
+    100 TB pick k so clusters stay bounded (SemDeDup uses ~100k
+    clusters), and ``max_cluster_size`` fails loudly instead of
+    running quadratic work on a degenerate cluster. Returns
+    (cluster, doc_a, doc_b) with doc_a < doc_b; cosine is computed on
+    L2-normalized float64, matching SQL ``list_cosine_similarity``
+    (oracle thresholds must sit in a measured gap of the sim
+    distribution, same contract as ``embedding_neardup``).
+
+    Recall contract (inherent to SemDeDup, not a bug): a cross-cluster
+    near-dup pair is never examined — recall is relative to the
+    clustering, exact within clusters.
+    """
+    import ray
+
+    from .ann import _fixed_matrix, _normalize
+    from .kmeans import kmeans_fit
+
+    cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_field,
+                       id_col=id_field)
+    ref = ray.put(cents)
+
+    def assign_keep(batch: pa.Table) -> pa.Table:
+        from .kmeans import _assign_ids
+
+        c = ray.get(ref)
+        vecs = _fixed_matrix(batch.column(vec_field), dtype=np.float64)
+        a = _assign_ids(vecs, c)
+        return pa.table({
+            "cluster": pa.array(a.astype(np.int64)),
+            id_field: batch.column(id_field),
+            vec_field: batch.column(vec_field),
+        })
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > max_cluster_size:
+            raise ValueError(
+                f"cluster {g['cluster'][0].as_py()} has {n} vectors "
+                f"(> max_cluster_size={max_cluster_size}); raise k so "
+                "clusters stay bounded, or raise the guard explicitly")
+        ids = as_combined(g[id_field]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mat = _normalize(_fixed_matrix(g[vec_field], dtype=np.float64))
+        sims = mat @ mat.T
+        ia, ib = np.nonzero((sims >= threshold)
+                            & (ids[None, :] > ids[:, None]))
+        cl = g["cluster"].slice(0, 1).to_pylist() * len(ia)
+        return pa.table({
+            "cluster": pa.array(cl, type=pa.int64()),
+            "doc_a": pa.array(ids[ia]),
+            "doc_b": pa.array(ids[ib]),
+        })
+
+    return (ds.map_batches(assign_keep, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(cluster_pairs, batch_format="pyarrow"))
+
+
 # --------------------------------------------------- word n-gram jaccard
 
 

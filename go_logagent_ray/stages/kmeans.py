@@ -66,12 +66,13 @@ def _assign_ids(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def kmeans_fit_predict(ds: Dataset, *, k: int = KMEANS_K,
-                       iters: int = KMEANS_ITERS,
-                       vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> Dataset:
+def kmeans_fit(ds: Dataset, *, k: int = KMEANS_K,
+               iters: int = KMEANS_ITERS,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> np.ndarray:
     """Run ``iters`` Lloyd iterations from the deterministic init and
-    return the final (vec_id, cluster) assignment."""
+    return the final (k, d) float64 centroid matrix (rounded to
+    KMEANS_ROUND decimals — see module docstring)."""
     cents = np.round(_init_centroids(ds, k, vec_col, id_col),
                      KMEANS_ROUND)
 
@@ -107,7 +108,17 @@ def kmeans_fit_predict(ds: Dataset, *, k: int = KMEANS_K,
         nz = counts > 0
         new[nz] = sums[nz] / counts[nz, None]
         cents = np.round(new, KMEANS_ROUND)
+    return cents
 
+
+def kmeans_fit_predict(ds: Dataset, *, k: int = KMEANS_K,
+                       iters: int = KMEANS_ITERS,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> Dataset:
+    """Fit (``kmeans_fit``) then return the final (vec_id, cluster)
+    assignment as a Dataset."""
+    cents = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col,
+                       id_col=id_col)
     ref = ray.put(cents)
 
     def assign(batch: pa.Table, _ref=ref) -> pa.Table:

@@ -83,3 +83,32 @@ def test_pii_redaction_counts_and_masks():
     dotted = out.iloc[6]
     assert dotted.n_phone == 1 and "<PHONE>" in dotted.redacted
     assert "<IP>" not in dotted.redacted
+
+
+def test_semdedup_pairs_within_clusters(ray_session):
+    """Planted clusters: near-identical vectors within a cluster pair
+    up; cross-cluster pairs are never emitted (the SemDeDup recall
+    contract); oversized clusters fail loudly."""
+    import pytest
+
+    from go_logagent_ray.stages.dedup import semdedup_pairs
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0] * 4, [-10.0] * 4])
+    vecs = []
+    for i in range(40):
+        vecs.append(centers[i % 2] + rng.normal(0, 0.05, 4))
+    t = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = semdedup_pairs(ray.data.from_arrow(t), threshold=0.99, k=2,
+                         iters=2).to_pandas()
+    # every within-cluster pair is ~cosine 1 => 2 * C(20,2) pairs
+    assert len(out) == 2 * (20 * 19 // 2)
+    assert ((out.doc_a % 2) == (out.doc_b % 2)).all()  # no cross-cluster
+    assert (out.doc_a < out.doc_b).all()
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup_pairs(ray.data.from_arrow(t), threshold=0.99, k=2,
+                       iters=1, max_cluster_size=5).to_pandas()
