@@ -156,6 +156,7 @@ def bench_queries() -> dict[str, float]:
         "bloom_join",             # bloom-prefiltered hash join (r3)
         "conv_rebuild",           # conversation reconstruction digest (r3)
         "repetition_stats_docs",  # Gopher repetition quality filters (r3)
+        "unigram_lm_docs",        # corpus-fit unigram-LM scoring (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:

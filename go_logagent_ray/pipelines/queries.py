@@ -1341,6 +1341,49 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_unigram_lm_docs(sf_dir: str):
+    """Unigram-LM quality scoring (the CCNet-style perplexity-filter
+    pipeline shape with a corpus-fit unigram table as the model): fit
+    top-16 vocab distributed (one (term,count) shuffle + per-block
+    top-V), broadcast once, score every doc vectorized. Integer
+    components (n_toks, n_oov, sum_rank, sum_tok_count) hash-checked;
+    V=16 is deliberately smaller than the corpus vocabulary so the OOV
+    path is genuinely exercised."""
+    from ..stages.lm import unigram_rank_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_rank_score(ds, vocab_size=16)
+
+
+SQL_UNIGRAM_LM_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+cnts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM toks GROUP BY term),
+vocab AS (SELECT term, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, term)
+                      AS BIGINT) AS rank
+          FROM cnts ORDER BY cnt DESC, term LIMIT 16),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT)
+           AS n_oov,
+         CAST(COALESCE(SUM(v.rank), 0) AS BIGINT) AS sum_rank,
+         CAST(COALESCE(SUM(v.cnt), 0) AS BIGINT) AS sum_tok_count
+  FROM toks t LEFT JOIN vocab v USING (term) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+       CAST(COALESCE(p.sum_rank, 0) AS BIGINT) AS sum_rank,
+       CAST(COALESCE(p.sum_tok_count, 0) AS BIGINT) AS sum_tok_count
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_quality_stats_docs(sf_dir: str):
     """Text quality scoring — the integer components are oracle-checked
     (punctuation and word counts); the float score composition is
@@ -2177,7 +2220,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
+    "unigram_lm_docs": q_unigram_lm_docs,
     "lineitem_agg": q_lineitem_agg,
     "hash_join": q_hash_join,
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
@@ -2225,6 +2268,9 @@ EXTRA_QUERIES = {
     "flagship_conv_counts": q_flagship_conv_counts,
     "distinct_docs": q_distinct_docs,
     "ann_lsh": q_ann_lsh,
+    # driver-proven in round 2 (CORRECTNESS_r02 pass); ANN family keeps
+    # ann_topk in-window, IVF stays exact-at-full-probe in this gate
+    "ann_ivf": q_ann_ivf,
     "grok_multifield_events": q_grok_multifield_events,
     "median_value_events": q_median_value_events,
     "dedup_exact_docs": q_dedup_exact_docs,
@@ -2257,6 +2303,7 @@ ORACLE_SQL = {
     "stratified_sample_docs": SQL_STRATIFIED_SAMPLE_DOCS,
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
+    "unigram_lm_docs": SQL_UNIGRAM_LM_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "bloom_join": SQL_BLOOM_JOIN,

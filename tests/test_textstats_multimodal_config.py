@@ -287,3 +287,21 @@ def test_rebuild_conversations(ray_session):
     assert out3.loc["n1", "n_turns"] == 3
     assert out3.loc["n1", "text_md5"] == hashlib.md5(b"a\nb").hexdigest()
     assert pd_isna(out3.loc["n2", "text_md5"])
+
+
+def test_unigram_rank_score(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.lm import unigram_rank_score
+
+    rows = [
+        {"doc_id": 0, "text": "a a a b b c"},   # counts: a=5,b=3,c=1,d=1
+        {"doc_id": 1, "text": "a a b D"},        # lowercased -> d
+        {"doc_id": 2, "text": ""},
+    ]
+    # V=2 vocab: rank1=a(cnt5), rank2=b(cnt3); c and d are OOV
+    out = (unigram_rank_score(rd.from_items(rows), vocab_size=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0].tolist() == [6, 1, 1*3 + 2*2, 5*3 + 3*2]
+    assert out.loc[1].tolist() == [4, 1, 1*2 + 2*1, 5*2 + 3*1]
+    assert out.loc[2].tolist() == [0, 0, 0, 0]
