@@ -157,6 +157,7 @@ def bench_queries() -> dict[str, float]:
         "conv_rebuild",           # conversation reconstruction digest (r3)
         "repetition_stats_docs",  # Gopher repetition quality filters (r3)
         "unigram_lm_docs",        # corpus-fit unigram-LM scoring (r3)
+        "curate_docs",            # 5-stage curation composition (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -1764,6 +1764,119 @@ FROM (SELECT doc_id, words,
 """
 
 
+def q_curate_docs(sf_dir: str):
+    """END-TO-END curation pipeline (the axis-B headline use case —
+    raw corpus → training-ready chunks) composed ENTIRELY from
+    operators that are each independently oracle-verified:
+
+      1. repetition-quality gate (``repetition_stats``: n_toks ≥ 20,
+         duplicate-bigram ratio ≤ 8%) — per-row, no shuffle;
+      2. exact dedup via broadcast keepers
+         (``exact_dedup_broadcast``: only (hash,id) partials shuffle,
+         full rows never move);
+      3. benchmark decontamination (``build_benchmark_grams`` on the
+         surviving set, broadcast once, vectorized match_substring
+         drop) — columns preserved;
+      4. chunking to 32-word windows at stride 24
+         (``chunk_documents``);
+      5. per-doc chunk stats (partial + combine grouped sums).
+
+    The SQL oracle is the SAME five stages as chained CTEs, so the
+    hash check verifies the COMPOSITION (stage ordering and the exact
+    survivor sets at every boundary), not just each operator alone."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import repetition_stats
+    from ..stages.chunk import chunk_documents
+    from ..stages.decontaminate import build_benchmark_grams
+    from ..stages.dedup import exact_dedup_broadcast
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def quality(batch: pa.Table) -> pa.Table:
+        b = repetition_stats(batch)
+        keep = pc.and_(
+            pc.greater_equal(b["n_toks"], pa.scalar(20)),
+            pc.less_equal(pc.multiply(b["dup_bigrams"], pa.scalar(1000)),
+                          pc.multiply(b["n_bigrams"], pa.scalar(80))))
+        return batch.filter(keep)
+
+    q = ds.map_batches(quality, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    d = exact_dedup_broadcast(q)
+    gref = ray.put(build_benchmark_grams(d))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch.column("text"), pa.string())
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for g in ray.get(gref):
+            m = pc.fill_null(pc.match_substring(texts, g), False)
+            keep &= ~m.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep))
+
+    c = d.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    ch = chunk_documents(c, size=32, stride=24)
+
+    def part(batch: pa.Table) -> pa.Table:
+        p = (batch.select(["doc_id", "n_words"]).group_by(["doc_id"])
+             .aggregate([("n_words", "sum"), ([], "count_all")]))
+        return p.select(["doc_id", "n_words_sum", "count_all"]) \
+            .rename_columns(["doc_id", "n_chunk_words", "n_chunks"])
+
+    parts = ch.map_batches(part, batch_format="pyarrow")
+    return (parts.groupby("doc_id")
+            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                       Sum("n_chunk_words", alias_name="n_chunk_words")))
+
+
+SQL_CURATE_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+bgr AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i+1]) END) AS g
+  FROM toks),
+bcnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bgr GROUP BY 1, 2),
+rep AS (
+  SELECT t.doc_id, len(t.tk) AS n_toks,
+         COALESCE(a.nb, 0) AS n_bigrams,
+         COALESCE(a.db, 0) AS dup_bigrams
+  FROM toks t LEFT JOIN (
+    SELECT doc_id, SUM(c) AS nb,
+           COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS db
+    FROM bcnt GROUP BY 1) a USING (doc_id)),
+q AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN rep USING (doc_id)
+  WHERE rep.n_toks >= 20 AND rep.dup_bigrams * 1000 <= 80 * rep.n_bigrams),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+s AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+bench AS (
+  SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                                  ' ') AS gram
+  FROM s WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 8),
+clean AS (
+  SELECT s.* FROM s
+  WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE contains(s.text, b.gram))),
+w AS (SELECT doc_id, string_split(text, ' ') AS words,
+             len(string_split(text, ' ')) AS n
+      FROM clean),
+ch AS (
+  SELECT doc_id, len(list_slice(words, g, g + 31)) AS nw
+  FROM (SELECT doc_id, words,
+               unnest(range(1, CAST(n AS BIGINT) + 1, 24)) AS g
+        FROM w))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(nw) AS BIGINT) AS n_chunk_words
+FROM ch GROUP BY doc_id
+"""
+
+
 def q_doc_freq_terms(sf_dir: str):
     """TF-IDF building block: document frequency per term (distinct
     docs containing the term), top 50 by df with deterministic
@@ -2183,6 +2296,7 @@ QUERIES = {
     # --- round-3 new / previously driver-unverified ---
     "conv_rebuild": q_conv_rebuild,
     "repetition_stats_docs": q_repetition_stats_docs,
+    "curate_docs": q_curate_docs,
     "asof_forward_events": q_asof_forward_events,
     "dedup_cluster_docs": q_dedup_cluster_docs,
     "decontaminate_docs": q_decontaminate_docs,
@@ -2210,7 +2324,6 @@ QUERIES = {
     "grok_parse_events": q_grok_parse_events,
     "json_sum_events": q_json_sum_events,
     "route_events": q_route_events,
-    "filter_events": q_filter_events,
     "interpolate_events": q_interpolate_events,
     "union_events": q_union_events,
     "flagship_sink_counts": q_flagship_sink_counts,
@@ -2259,6 +2372,9 @@ EXTRA_QUERIES = {
     # (same hash-split machinery, stratified adds the per-group quota)
     "quality_stats_docs": q_quality_stats_docs,
     "split_sample_docs": q_split_sample_docs,
+    # F5 DropStage runs in-window inside asof_join_salted's left/right
+    # construction; this standalone entry was driver-proven in r1/r2
+    "filter_events": q_filter_events,
     # kmeans fit+assign ⊂ semdedup_embeddings (its oracle embeds the
     # full kmeans assignment CTE)
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -2304,6 +2420,7 @@ ORACLE_SQL = {
     "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "unigram_lm_docs": SQL_UNIGRAM_LM_DOCS,
+    "curate_docs": SQL_CURATE_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "bloom_join": SQL_BLOOM_JOIN,
