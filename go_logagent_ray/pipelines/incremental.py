@@ -132,3 +132,99 @@ class IncrementalRunner:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+@ray.remote(num_cpus=0.1)
+class SeenState:
+    """One shard of the global seen-content-hash set (streaming dedup).
+
+    Memory regime: 8 bytes × distinct-content count ÷ num_buckets per
+    actor (plus set overhead) — the same broadcast-keepers regime as
+    ``exact_dedup_broadcast`` (~100M distinct across a few GB). This is
+    the low-latency TAIL mode; the 100 TB backfill path is the batch
+    ``exact_keepers`` shuffle, exactly as with CountState above.
+    """
+
+    def __init__(self):
+        self.seen: set[int] = set()
+
+    def filter_new(self, fps: list[int]) -> list[bool]:
+        """For each fingerprint IN ORDER: True if first ever seen (and
+        mark seen), else False. Called once per (chunk, shard) — chunk
+        sequencing in the runner makes this deterministic."""
+        out = []
+        for h in fps:
+            if h in self.seen:
+                out.append(False)
+            else:
+                self.seen.add(h)
+                out.append(True)
+        return out
+
+    def n_seen(self) -> int:
+        return len(self.seen)
+
+
+class StreamingDedup:
+    """Streaming exact dedup over arriving chunks — the stateful
+    cross-chunk analog of ``exact_keepers`` (a shared mutable seen-set
+    is the other thing the Dataset API cannot express, custom-operator
+    rule (c)).
+
+    Per chunk: every block reduces to (fingerprint, min id) PARTIALS
+    inside ``map_batches`` (rows never reach the driver; the driver
+    merge is bounded by the chunk's distinct-content count, the same
+    regime as IncrementalRunner's merged Counter), fingerprints are
+    hash-sharded across ``SeenState`` actors, and each actor answers
+    first-seen atomically for its shard. Keeper semantics: the min id
+    within the FIRST chunk that contains the content; feed chunks in id
+    order (id-range chunks) and this equals the global
+    ``MIN(id) GROUP BY text`` — the batch-dedup oracle.
+    """
+
+    def __init__(self, num_buckets: int = 8, *, text_field: str = "text",
+                 id_field: str = "doc_id"):
+        self.actors = [SeenState.remote() for _ in range(num_buckets)]
+        self.num_buckets = num_buckets
+        self.text_field = text_field
+        self.id_field = id_field
+
+    def process_chunk_dataset(self, ds) -> list[int]:
+        """Returns the doc ids ACCEPTED from this chunk (first holders
+        of content never seen before), ascending."""
+        from ..functions.textstats import fingerprint
+
+        text_field, id_field = self.text_field, self.id_field
+
+        def partial(batch: pa.Table) -> pa.Table:
+            b = fingerprint(batch, field=text_field, out="_fp")
+            p = (b.select(["_fp", id_field]).group_by(["_fp"])
+                 .aggregate([(id_field, "min")]))
+            return p.select(["_fp", id_field + "_min"]) \
+                .rename_columns(["_fp", id_field])
+
+        merged: dict[int, int] = {}
+        for r in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_rows():
+            fp, i = r["_fp"], r[id_field]
+            if fp not in merged or i < merged[fp]:
+                merged[fp] = i
+        fps = sorted(merged)  # deterministic shard payload order
+        shard_of = [fp % self.num_buckets for fp in fps]
+        futures, shard_fps = [], []
+        for b in range(self.num_buckets):
+            ks = [fp for fp, s in zip(fps, shard_of) if s == b]
+            shard_fps.append(ks)
+            futures.append(self.actors[b].filter_new.remote(ks))
+        kept: list[int] = []
+        for ks, mask in zip(shard_fps, ray.get(futures)):
+            kept.extend(merged[fp] for fp, new in zip(ks, mask) if new)
+        return sorted(kept)
+
+    def n_distinct(self) -> int:
+        return sum(ray.get([a.n_seen.remote() for a in self.actors]))
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

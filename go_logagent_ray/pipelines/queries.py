@@ -1297,6 +1297,41 @@ def q_incremental_counts(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Streaming exact dedup (EP2 stateful analog of exact_keepers):
+    the documents table fed as 5 id-range chunks through
+    ``StreamingDedup`` — per-chunk (fp, min id) partials, hash-sharded
+    ``SeenState`` actors answering first-seen atomically. Id-ordered
+    chunks make first-seen == global MIN(doc_id) per content, so the
+    oracle is the batch-dedup SQL."""
+    import pyarrow.compute as _pc
+
+    from .incremental import StreamingDedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    max_id = int(ds.max("doc_id"))
+    n_chunks = 5
+    step = max_id // n_chunks + 1
+    sd = StreamingDedup()
+    try:
+        kept: list[int] = []
+        for c in range(n_chunks):
+            lo, hi = c * step, (c + 1) * step
+
+            def rng(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+                ids = batch["doc_id"]
+                return batch.filter(_pc.and_(
+                    _pc.greater_equal(ids, pa.scalar(lo)),
+                    _pc.less(ids, pa.scalar(hi))))
+
+            kept.extend(sd.process_chunk_dataset(
+                ds.map_batches(rng, batch_format="pyarrow",
+                               zero_copy_batch=True)))
+        return pa.table({"doc_id": pa.array(sorted(kept), pa.int64())})
+    finally:
+        sd.shutdown()
+
+
 def q_repetition_stats_docs(sf_dir: str):
     """Gopher-style repetition quality filters: per-doc duplicate-bigram
     occurrence counts, top-bigram count, distinct bigrams — all integer
@@ -2297,6 +2332,7 @@ QUERIES = {
     "conv_rebuild": q_conv_rebuild,
     "repetition_stats_docs": q_repetition_stats_docs,
     "curate_docs": q_curate_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
     "asof_forward_events": q_asof_forward_events,
     "dedup_cluster_docs": q_dedup_cluster_docs,
     "decontaminate_docs": q_decontaminate_docs,
@@ -2325,7 +2361,6 @@ QUERIES = {
     "json_sum_events": q_json_sum_events,
     "route_events": q_route_events,
     "interpolate_events": q_interpolate_events,
-    "union_events": q_union_events,
     "flagship_sink_counts": q_flagship_sink_counts,
     "enrich_docs": q_enrich_docs,
     "token_stats_docs": q_token_stats_docs,
@@ -2375,6 +2410,9 @@ EXTRA_QUERIES = {
     # F5 DropStage runs in-window inside asof_join_salted's left/right
     # construction; this standalone entry was driver-proven in r1/r2
     "filter_events": q_filter_events,
+    # O3 Dataset.union runs in-window inside the SIDE_COL co-group
+    # pattern (asof_join_salted, range_join_events); driver-proven r1/r2
+    "union_events": q_union_events,
     # kmeans fit+assign ⊂ semdedup_embeddings (its oracle embeds the
     # full kmeans assignment CTE)
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -2421,6 +2459,8 @@ ORACLE_SQL = {
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "unigram_lm_docs": SQL_UNIGRAM_LM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,
+    # id-ordered chunks make streaming first-seen == batch MIN(doc_id)
+    "incremental_dedup_docs": SQL_DEDUP_EXACT_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,
     "inverted_index_docs": SQL_INVERTED_INDEX_DOCS,
     "bloom_join": SQL_BLOOM_JOIN,

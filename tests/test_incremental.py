@@ -43,3 +43,29 @@ def test_incremental_counts_accumulate(ray_session, transcripts_small, tmp_path)
     assert first == half.num_rows
     assert second == 2 * half.num_rows  # counts are additive per feed
     runner.shutdown()
+
+
+def test_streaming_dedup_cross_chunk(ray_session):
+    """A text seen in an earlier chunk is rejected in later chunks;
+    within a chunk the min id holds the content; distinct count is
+    exact across shards."""
+    import ray.data as rd
+
+    from go_logagent_ray.pipelines.incremental import StreamingDedup
+
+    sd = StreamingDedup(num_buckets=4)
+    try:
+        c1 = rd.from_items([
+            {"doc_id": 5, "text": "alpha beta"},
+            {"doc_id": 3, "text": "alpha beta"},   # min id 3 keeps
+            {"doc_id": 7, "text": "gamma delta"},
+        ])
+        c2 = rd.from_items([
+            {"doc_id": 10, "text": "alpha beta"},   # dup of chunk 1
+            {"doc_id": 11, "text": "epsilon zeta"},
+        ])
+        assert sd.process_chunk_dataset(c1) == [3, 7]
+        assert sd.process_chunk_dataset(c2) == [11]
+        assert sd.n_distinct() == 3
+    finally:
+        sd.shutdown()
