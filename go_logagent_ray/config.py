@@ -143,6 +143,31 @@ def _decontaminate(conf: dict):
     }
 
 
+@register_stage("repetition")
+def _repetition(conf: dict):
+    """Append Gopher-style repetition quality columns (n_toks,
+    n_bigrams, dup_bigrams, top_bigram_n, uniq_bigrams); optionally
+    drop rows over a duplicate-bigram permille threshold."""
+    from .functions.textstats import repetition_stats
+
+    field = conf.get("field", "text")
+    max_permille = conf.get("max_dup_permille")
+
+    def rep(batch):
+        out = repetition_stats(batch, field=field)
+        if max_permille is not None:
+            import pyarrow as pa
+            import pyarrow.compute as _pc
+
+            keep = _pc.less_equal(
+                _pc.multiply(out["dup_bigrams"], pa.scalar(1000)),
+                _pc.multiply(out["n_bigrams"], pa.scalar(int(max_permille))))
+            out = out.filter(keep)
+        return out
+
+    return rep, {}
+
+
 @register_stage("sample")
 def _sample(conf: dict):
     """Deterministic keep-percent filter (reproducible sampling)."""

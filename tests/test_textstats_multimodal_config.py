@@ -305,3 +305,20 @@ def test_unigram_rank_score(ray_session):
     assert out.loc[0].tolist() == [6, 1, 1*3 + 2*2, 5*3 + 3*2]
     assert out.loc[1].tolist() == [4, 1, 1*2 + 2*1, 5*2 + 3*1]
     assert out.loc[2].tolist() == [0, 0, 0, 0]
+
+
+def test_config_repetition_stage(ray_session):
+    """X1: the repetition quality filter is config-pluggable and its
+    threshold drops repetitive rows."""
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {"input": {"type": "items", "items": [
+               {"doc_id": 1, "text": "a b " * 15},
+               {"doc_id": 2, "text": "one two three four five"},
+           ]},
+           "filters": [{"type": "repetition", "max_dup_permille": 300}],
+           "outputs": []}
+    out = Pipeline.from_config(cfg)
+    df = out.transform(out.read()).to_pandas()
+    assert df.doc_id.tolist() == [2]
+    assert "dup_bigrams" in df.columns
