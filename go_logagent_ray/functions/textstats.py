@@ -186,7 +186,10 @@ def fingerprint(batch: pa.Table, field: str = "text", out: str = "fp64") -> pa.T
     Normalization: lowercase, collapse non-alphanumerics to single spaces,
     trim. Hash: polars' vectorized 64-bit hash (stable within an
     environment; use for intra-run dedup/bucketing, not cross-version
-    storage).
+    storage). Emitted as int64 (bit-reinterpreted): Ray's groupby
+    materializes key values as Python ints when combining, and uint64
+    values ≥ 2^63 overflow the int64 re-inference there, silently
+    degrading aggregate output blocks to pickled-object columns.
     """
     import polars as pl
 
@@ -195,6 +198,6 @@ def fingerprint(batch: pa.Table, field: str = "text", out: str = "fp64") -> pa.T
         pc.replace_substring_regex(pc.utf8_lower(col), pattern=r"[^a-z0-9]+",
                                    replacement=" ")
     )
-    h = pl.from_arrow(norm).hash(seed=0)
-    arr = h.to_arrow().cast(pa.uint64())
+    h = pl.from_arrow(norm).hash(seed=0).reinterpret(signed=True)
+    arr = h.to_arrow().cast(pa.int64())
     return set_column(batch, out, arr)

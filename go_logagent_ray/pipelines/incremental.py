@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -203,22 +204,39 @@ class StreamingDedup:
             return p.select(["_fp", id_field + "_min"]) \
                 .rename_columns(["_fp", id_field])
 
-        merged: dict[int, int] = {}
-        for r in ds.map_batches(partial, batch_format="pyarrow") \
-                .iter_rows():
-            fp, i = r["_fp"], r[id_field]
-            if fp not in merged or i < merged[fp]:
-                merged[fp] = i
-        fps = sorted(merged)  # deterministic shard payload order
-        shard_of = [fp % self.num_buckets for fp in fps]
-        futures, shard_fps = [], []
+        # Driver merge stays numpy end-to-end (16 bytes/row, one
+        # lexsort) — never Python row-dicts, whose ~100 bytes/row plus
+        # a per-row dict insert would make the driver the bottleneck
+        # long before the arrays do (same rule as exact_dedup_broadcast).
+        fp_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            fp_parts.append(b.column("_fp").to_numpy(zero_copy_only=False))
+            id_parts.append(b.column(id_field)
+                            .to_numpy(zero_copy_only=False))
+        fp_all = (np.concatenate(fp_parts) if fp_parts
+                  else np.zeros(0, np.int64)).astype(np.int64, copy=False)
+        id_all = (np.concatenate(id_parts) if id_parts
+                  else np.zeros(0, np.int64)).astype(np.int64, copy=False)
+        order = np.lexsort((id_all, fp_all))
+        fp_s, id_s = fp_all[order], id_all[order]
+        first = np.ones(fp_s.size, dtype=bool)
+        first[1:] = fp_s[1:] != fp_s[:-1]
+        # fps ascending (lexsort primary key) — deterministic payloads.
+        fps_u, ids_u = fp_s[first], id_s[first]
+        # numpy floor-mod keeps shards in [0, num_buckets) for
+        # negative int64 fingerprints too.
+        shard_of = fps_u % self.num_buckets
+        futures, shard_ids = [], []
         for b in range(self.num_buckets):
-            ks = [fp for fp, s in zip(fps, shard_of) if s == b]
-            shard_fps.append(ks)
-            futures.append(self.actors[b].filter_new.remote(ks))
+            m = shard_of == b
+            shard_ids.append(ids_u[m])
+            futures.append(self.actors[b].filter_new.remote(
+                fps_u[m].tolist()))
         kept: list[int] = []
-        for ks, mask in zip(shard_fps, ray.get(futures)):
-            kept.extend(merged[fp] for fp, new in zip(ks, mask) if new)
+        for ks, mask in zip(shard_ids, ray.get(futures)):
+            kept.extend(int(i) for i, new in zip(ks, mask) if new)
         return sorted(kept)
 
     def n_distinct(self) -> int:

@@ -415,7 +415,7 @@ def q_fingerprint_docs(sf_dir: str):
     reps = fp.map_batches(partial, batch_format="pyarrow") \
         .groupby("fp64").aggregate(Min("doc_id", alias_name="rep"))
     rep_rows = reps.take_all()
-    keys = pa.array([r["fp64"] for r in rep_rows], type=pa.uint64())
+    keys = pa.array([r["fp64"] for r in rep_rows], type=pa.int64())
     vals = pa.array([r["rep"] for r in rep_rows], type=pa.int64())
     ref = ray.put((keys, vals))
 
@@ -1308,7 +1308,10 @@ def q_incremental_dedup_docs(sf_dir: str):
 
     from .incremental import StreamingDedup
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # Materialized once: consumed 6× below (the max() pass plus one
+    # id-range filter per chunk) — unmaterialized, each consumer would
+    # re-execute the full parquet read lineage.
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
     max_id = int(ds.max("doc_id"))
     n_chunks = 5
     step = max_id // n_chunks + 1
@@ -1367,7 +1370,7 @@ agg AS (
          CAST(MAX(c) AS BIGINT) AS top_bigram_n,
          CAST(COUNT(*) AS BIGINT) AS uniq_bigrams
   FROM cnt GROUP BY 1)
-SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_toks,
+SELECT t.doc_id, CAST(COALESCE(len(t.tk), 0) AS BIGINT) AS n_toks,
        COALESCE(a.n_bigrams, 0) AS n_bigrams,
        COALESCE(a.dup_bigrams, 0) AS dup_bigrams,
        COALESCE(a.top_bigram_n, 0) AS top_bigram_n,
@@ -1837,9 +1840,14 @@ def q_curate_docs(sf_dir: str):
                           pc.multiply(b["n_bigrams"], pa.scalar(80))))
         return batch.filter(keep)
 
+    # Materialize the shared quality+dedup intermediate: it is
+    # consumed THREE times (keeper fit inside exact_dedup_broadcast,
+    # build_benchmark_grams, and the final clean→chunk→aggregate
+    # lineage) — without this the read + bigram group_by re-execute
+    # per consumer (same rule as ngram_jaccard_pairs_lsh's cands).
     q = ds.map_batches(quality, batch_format="pyarrow",
-                       zero_copy_batch=True)
-    d = exact_dedup_broadcast(q)
+                       zero_copy_batch=True).materialize()
+    d = exact_dedup_broadcast(q).materialize()
     gref = ray.put(build_benchmark_grams(d))
 
     def clean(batch: pa.Table) -> pa.Table:

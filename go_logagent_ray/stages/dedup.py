@@ -473,14 +473,17 @@ class SimHasher:
         counts = np.diff(off)
         votes = np.zeros((n, 64), dtype=np.int64)
         if h.size:
-            starts = np.minimum(off[:-1], h.size - 1)
-            nonempty = counts > 0
             # one vectorized pass per bit, O(tokens) memory — the
-            # (tokens × 64) bit matrix would be GBs at real batch sizes
+            # (tokens × 64) bit matrix would be GBs at real batch sizes.
+            # Segment sums via cumsum differences, NOT reduceat: reduceat
+            # needs its index clamp for empty trailing segments, and that
+            # clamp shifts a start INTO the preceding doc's token range,
+            # splitting its votes (['0 0', ''] hashed doc0 to 0).
+            csum = np.zeros(h.size + 1, dtype=np.int64)
             for k in range(64):
                 bit = ((h >> np.uint64(k)) & np.uint64(1)).astype(np.int64)
-                s = np.add.reduceat(bit, starts)
-                votes[nonempty, k] = s[nonempty]
+                np.cumsum(bit, out=csum[1:])
+                votes[:, k] = csum[off[1:]] - csum[off[:-1]]
         signed = votes * 2 - counts[:, None]
         sh = (signed > 0).astype(np.uint64) @ (
             np.uint64(1) << np.arange(64, dtype=np.uint64))
@@ -686,9 +689,21 @@ def semdedup_pairs(
         ids = as_combined(g[id_field]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         mat = _normalize(_fixed_matrix(g[vec_field], dtype=np.float64))
-        sims = mat @ mat.T
-        ia, ib = np.nonzero((sims >= threshold)
-                            & (ids[None, :] > ids[:, None]))
+        # Row-blocked matmul: peak sims memory is block×n ≈ 32 MB of
+        # float64 regardless of cluster size (a dense n×n at the
+        # 65536 guard would be ~34 GB — a silent worker OOM, not the
+        # loud guard failure this function promises).
+        a_idx: list[np.ndarray] = []
+        b_idx: list[np.ndarray] = []
+        block = max(1, (1 << 22) // max(1, n))
+        for i in range(0, n, block):
+            sims = mat[i:i + block] @ mat.T
+            ia, ib = np.nonzero((sims >= threshold)
+                                & (ids[None, :] > ids[i:i + block, None]))
+            a_idx.append(ia + i)
+            b_idx.append(ib)
+        ia = np.concatenate(a_idx) if a_idx else np.zeros(0, np.int64)
+        ib = np.concatenate(b_idx) if b_idx else np.zeros(0, np.int64)
         cl = g["cluster"].slice(0, 1).to_pylist() * len(ia)
         return pa.table({
             "cluster": pa.array(cl, type=pa.int64()),
