@@ -158,6 +158,8 @@ def bench_queries() -> dict[str, float]:
         "repetition_stats_docs",  # Gopher repetition quality filters (r3)
         "unigram_lm_docs",        # corpus-fit unigram-LM scoring (r3)
         "curate_docs",            # 5-stage curation composition (r3)
+        "segment_dedup_docs",     # aligned-window substring dedup (r3)
+        "quality_threshold_docs",  # corpus-quantile quality gate (r3)
     ]
     out: dict[str, float] = {}
     for name in picks:

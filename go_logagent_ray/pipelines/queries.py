@@ -2327,6 +2327,125 @@ FROM q
 """
 
 
+def q_segment_dedup_docs(sf_dir: str):
+    """Segment-level exact dedup (`stages/segdedup.py` — the
+    aligned-window analog of exact substring dedup): drop repeated
+    20-word windows corpus-wide keeping first occurrences, rebuild each
+    doc from its surviving segments. Two streaming passes; only
+    (hash, packed-position) pairs shuffle; documents never move."""
+    from ..stages.segdedup import segment_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(ds, size=20)
+
+
+# MAX_SEGS packing constant (1 << 20) is inlined below; `keep` groups by
+# EXACT segment text where the Ray side groups by its 64-bit hash —
+# identical modulo hash collisions (odds ~n²/2⁶⁵ at test scale).
+SQL_SEGMENT_DEDUP_DOCS = """
+WITH segs AS (
+  SELECT doc_id,
+         CAST((g - 1) / 20 AS BIGINT) AS seg_idx,
+         array_to_string(list_slice(words, g, g + 19), ' ') AS seg_text
+  FROM (SELECT doc_id, words,
+               unnest(range(1, CAST(n AS BIGINT) + 1, 20)) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE text IS NOT NULL) w)),
+keep AS (
+  SELECT seg_text, MIN(doc_id * 1048576 + seg_idx) AS pk
+  FROM segs GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text
+  FROM segs s JOIN keep k
+    ON s.seg_text = k.seg_text
+   AND s.doc_id * 1048576 + s.seg_idx = k.pk),
+agg AS (
+  SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS txt,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+  FROM segs GROUP BY 1)
+SELECT t.doc_id, COALESCE(a.txt, '') AS text, t.n_segs,
+       COALESCE(a.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_topk_per_lang_docs(sf_dir: str):
+    """Per-group top-k (`stages/aggregate.py::grouped_topk`): the 5
+    largest docs per language by (n_chars DESC, doc_id ASC) with a
+    row_number rank. Per-batch combiner bounds the shuffle to
+    k × blocks rows per group."""
+    from ..stages.aggregate import grouped_topk
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return grouped_topk(ds, "lang", "n_chars", "doc_id", k=5)
+
+
+SQL_TOPK_PER_LANG_DOCS = """
+SELECT lang, n_chars, doc_id, CAST(rn AS BIGINT) AS rank
+FROM (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+      WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        AND doc_id IS NOT NULL)
+WHERE rn <= 5
+"""
+
+
+def q_quality_threshold_docs(sf_dir: str):
+    """Corpus-relative quality gate (the shape of CCNet's
+    perplexity-quartile filtering, with an exact corpus statistic):
+    keep docs with n_chars ≥ the corpus p25. Pass 1 reduces to
+    (value, count) partials — distinct-value bounded, never rows — and
+    the exact quantile_disc threshold (element at ceil(n·q)−1 of the
+    sorted multiset, DuckDB's convention) is computed from the merged
+    counts; pass 2 is a broadcast-scalar filter that streams."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["n_chars"]).drop_null()
+        p = t.group_by(["n_chars"]).aggregate([([], "count_all")])
+        return p.select(["n_chars", "count_all"]) \
+            .rename_columns(["n_chars", "cnt"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("cnt", alias_name="cnt"))
+    vs, cs = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        vs.append(b.column("n_chars").to_numpy(zero_copy_only=False))
+        cs.append(b.column("cnt").to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+    c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    if v.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+    n = int(c.sum())
+    idx = (n + 3) // 4 - 1  # ceil(n * 0.25) - 1, integer math
+    thr = int(v[np.searchsorted(np.cumsum(c), idx + 1)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch["n_chars"]
+        mask = pc.fill_null(pc.greater_equal(col, pa.scalar(thr)), False)
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+SQL_QUALITY_THRESHOLD_DOCS = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -2337,6 +2456,9 @@ FROM q
 # covered, not driver-run).
 QUERIES = {
     # --- round-3 new / previously driver-unverified ---
+    "segment_dedup_docs": q_segment_dedup_docs,
+    "topk_per_lang_docs": q_topk_per_lang_docs,
+    "quality_threshold_docs": q_quality_threshold_docs,
     "conv_rebuild": q_conv_rebuild,
     "repetition_stats_docs": q_repetition_stats_docs,
     "curate_docs": q_curate_docs,
@@ -2366,12 +2488,9 @@ QUERIES = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     # --- stable operator surface ---
     "grok_parse_events": q_grok_parse_events,
-    "json_sum_events": q_json_sum_events,
     "route_events": q_route_events,
-    "interpolate_events": q_interpolate_events,
     "flagship_sink_counts": q_flagship_sink_counts,
     "enrich_docs": q_enrich_docs,
-    "token_stats_docs": q_token_stats_docs,
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "embedding_neardup": q_embedding_neardup,
@@ -2407,9 +2526,18 @@ QUERIES = {
 # sort+limit in doc_freq_terms (O2)
 # (dedup_exact/broadcast/cluster all in-window); ann_lsh and
 # grok_multifield passed the r02 driver gate and cede their slots to
-# unproven round-3 operators). Still run by the local pytest oracle
-# gate.
+# unproven round-3 operators; interpolate_events (F2/F3) cedes to the
+# in-window flagship_sink_counts, whose chain runs the same PatchStage
+# interpolations end-to-end; json_sum_events (F4 parse) cedes to
+# json_sink_rows, which marshals AND re-parses the written JSON;
+# token_stats_docs cedes to the in-window textstats family
+# (langid/repetition) — all three passed the r02 driver gate and free
+# slots for segment_dedup/topk_per_lang/quality_threshold). Still run
+# by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    "interpolate_events": q_interpolate_events,
+    "json_sum_events": q_json_sum_events,
+    "token_stats_docs": q_token_stats_docs,
     # quality_stats' integer components ⊂ repetition_stats' driver row
     # (both are the F-quality family); split_sample ⊂ stratified_sample
     # (same hash-split machinery, stratified adds the per-group quota)
@@ -2451,6 +2579,9 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
+    "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
+    "quality_threshold_docs": SQL_QUALITY_THRESHOLD_DOCS,
     "conv_rebuild": SQL_CONV_REBUILD,
     "repetition_stats_docs": SQL_REPETITION_STATS_DOCS,
     "heavy_hitters_terms": SQL_HEAVY_HITTERS_TERMS,

@@ -120,3 +120,38 @@ def fused_counts(ds: Dataset, key_sets: dict[str, list[str]], alias: str = "n",
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return _tree_reduce(partials, ["_agg"] + all_keys, alias, mode)
+
+
+def grouped_topk(ds: Dataset, group_key: str, order_col: str,
+                 id_col: str, k: int = 5) -> Dataset:
+    """Per-group top-k rows under the total order (order_col DESC,
+    id_col ASC), with a 1-based ``rank`` column — row_number() OVER
+    (PARTITION BY group ORDER BY ...) ≤ k, the per-language
+    best-documents selection of a curation pipeline.
+
+    Scale shape: each batch first reduces to AT MOST k rows per group
+    it contains (polars sort + group head — a combiner under the same
+    total order), so the shuffle moves ≤ k × blocks rows per group, not
+    the corpus; the final per-group merge re-sorts ≤ k × blocks rows.
+    Rows with a null group, order, or id value are excluded (SQL
+    PARTITION BY/ORDER BY ranking semantics over non-null keys).
+    """
+    import pandas as pd
+    import polars as pl
+
+    cols = [group_key, order_col, id_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(cols)).drop_nulls(cols)
+        out = (df.sort([order_col, id_col], descending=[True, False])
+               .group_by(group_key, maintain_order=True).head(k))
+        return out.to_arrow()
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([order_col, id_col],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = pd.RangeIndex(1, len(g) + 1).astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(group_key).map_groups(final, batch_format="pandas")

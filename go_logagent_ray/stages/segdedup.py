@@ -1,0 +1,159 @@
+"""Segment-level exact dedup: drop REPEATED fixed-size word windows
+corpus-wide, keeping each distinct segment's first occurrence and
+rebuilding every document from its surviving segments.
+
+The aligned-window analog of exact substring deduplication (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" — public
+method; our granularity is non-overlapping k-word windows instead of
+suffix-array substrings, which keeps the operator a pure two-pass
+streaming shape). Not in the reference (tuhuayuan/go-logagent has no
+corpus-level text ops); first-class per the training-data mandate.
+
+Scale shape (mirrors ``dedup.exact_dedup_broadcast``):
+
+- pass 1: explode each batch into segments IN PLACE, reduce to
+  (segment-hash, min packed (doc_id, seg_idx)) partials inside
+  ``map_batches`` (Arrow hash-agg) → one small ``groupby`` over
+  partials. Only (hash, packed-position) pairs ever shuffle; full text
+  never moves.
+- broadcast: the keeper table is collected as two int64 numpy arrays
+  (16 bytes per distinct segment — never Python row-dicts) and
+  ``ray.put`` once. Regime: fits to ~500 M distinct segments (~8 GB);
+  past that, partition segments by hash and keep per-partition keeper
+  maps instead of one broadcast.
+- pass 2: re-explode each batch, vectorized sorted-membership test
+  against the broadcast keepers, rebuild each doc's text from kept
+  segments WITHIN the batch (polars group_by) — documents never
+  shuffle at all.
+
+Identity is EXACT segment-text equality via a 64-bit polars hash
+(collision odds ~n²/2⁶⁵ — negligible below ~10⁹ distinct segments and
+the SQL oracle would catch one at test scale). Positions pack as
+``doc_id * MAX_SEGS + seg_idx`` so "first occurrence" is the
+lexicographic (doc_id, seg_idx) minimum in one int64 Min aggregate;
+docs with ≥ MAX_SEGS segments or negative ids fail loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+from .chunk import chunk_batch_fn
+
+SEG_SIZE = 20
+MAX_SEGS = 1 << 20
+
+
+def _hash64(col) -> np.ndarray:
+    """Raw (un-normalized) 64-bit polars hash of a string column,
+    bit-reinterpreted to int64 (Ray groupby materializes key values as
+    Python ints; uint64 ≥ 2^63 would overflow that re-inference)."""
+    s = pl.from_arrow(col)
+    if not isinstance(s, pl.Series):
+        s = s.to_series(0)
+    return s.cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).to_numpy()
+
+
+def _packed_segments(batch: pa.Table, explode, id_field: str):
+    """Explode one batch into segments; return (segs, fp, pk) where fp
+    is the segment-text hash and pk the packed (doc_id, seg_idx)."""
+    segs = explode(batch)
+    if segs.num_rows == 0:
+        e = np.zeros(0, np.int64)
+        return segs, e, e
+    ids = segs[id_field].to_numpy()
+    idx = segs["chunk_idx"].to_numpy()
+    if ids.size and int(ids.min()) < 0:
+        raise ValueError("segment_dedup requires non-negative ids "
+                         "(positions pack as id * MAX_SEGS + seg_idx)")
+    if idx.size and int(idx.max()) >= MAX_SEGS:
+        raise ValueError(
+            f"document has ≥ {MAX_SEGS} segments; raise MAX_SEGS "
+            "(and re-check the int64 packing headroom) for such inputs")
+    pk = ids.astype(np.int64) * MAX_SEGS + idx.astype(np.int64)
+    return segs, _hash64(segs["chunk_text"]), pk
+
+
+def segment_keepers(ds: Dataset, *, size: int = SEG_SIZE,
+                    text_field: str = "text",
+                    id_field: str = "doc_id") -> Dataset:
+    """(_fp, _pk): per distinct segment text, the packed position of its
+    first occurrence. Only these 16-byte pairs shuffle."""
+    explode = chunk_batch_fn(size=size, stride=size, text_field=text_field,
+                             id_field=id_field)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        segs, fp, pk = _packed_segments(batch, explode, id_field)
+        t = pa.table({"_fp": pa.array(fp, pa.int64()),
+                      "_pk": pa.array(pk, pa.int64())})
+        p = t.group_by(["_fp"]).aggregate([("_pk", "min")])
+        # select by name — pyarrow aggregate column order is not stable
+        # across releases
+        return p.select(["_fp", "_pk_min"]).rename_columns(["_fp", "_pk"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("_fp").aggregate(Min("_pk", alias_name="_pk"))
+
+
+def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
+                  text_field: str = "text",
+                  id_field: str = "doc_id") -> Dataset:
+    """One row per non-null-text document: (id, text rebuilt from
+    surviving segments joined by ' ', n_segs, n_kept). A segment
+    occurrence survives iff it IS the corpus-wide first occurrence of
+    its exact text (so every distinct segment text appears exactly once
+    across the whole output corpus)."""
+    import ray
+
+    fp_parts: list[np.ndarray] = []
+    pk_parts: list[np.ndarray] = []
+    for b in segment_keepers(ds, size=size, text_field=text_field,
+                             id_field=id_field) \
+            .iter_batches(batch_format="pyarrow"):
+        fp_parts.append(b.column("_fp").to_numpy(zero_copy_only=False))
+        pk_parts.append(b.column("_pk").to_numpy(zero_copy_only=False))
+    fp_all = np.concatenate(fp_parts) if fp_parts else np.zeros(0, np.int64)
+    pk_all = np.concatenate(pk_parts) if pk_parts else np.zeros(0, np.int64)
+    order = np.argsort(fp_all, kind="stable")
+    ref = ray.put((fp_all[order], pk_all[order]))
+
+    explode = chunk_batch_fn(size=size, stride=size, text_field=text_field,
+                             id_field=id_field)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        fp_sorted, pk_sorted = ray.get(ref)
+        segs, fp, pk = _packed_segments(batch, explode, id_field)
+        if segs.num_rows == 0:
+            return pa.table({id_field: pa.array([], pa.int64()),
+                             text_field: pa.array([], pa.string()),
+                             "n_segs": pa.array([], pa.int64()),
+                             "n_kept": pa.array([], pa.int64())})
+        pos = np.searchsorted(fp_sorted, fp).clip(max=max(len(fp_sorted) - 1, 0))
+        keep = (fp_sorted[pos] == fp) & (pk_sorted[pos] == pk) \
+            if len(fp_sorted) else np.zeros(len(fp), dtype=bool)
+        df = pl.DataFrame({
+            id_field: segs[id_field].to_numpy(),
+            "_si": segs["chunk_idx"].to_numpy(),
+            "_st": pl.from_arrow(segs["chunk_text"]),
+            "_keep": keep,
+        })
+        tot = df.group_by(id_field).agg(pl.len().alias("n_segs"))
+        agg = (df.filter(pl.col("_keep"))
+               .group_by(id_field)
+               .agg(pl.col("_st").sort_by("_si").alias("_l"),
+                    pl.len().alias("n_kept"))
+               .with_columns(pl.col("_l").list.join(" ").alias(text_field))
+               .select([id_field, text_field, "n_kept"]))
+        out = (tot.join(agg, on=id_field, how="left")
+               .with_columns(pl.col(text_field).fill_null(""),
+                             pl.col("n_kept").fill_null(0))
+               .select([id_field, text_field, "n_segs", "n_kept"])
+               .with_columns(pl.col("n_segs").cast(pl.Int64),
+                             pl.col("n_kept").cast(pl.Int64)))
+        return out.to_arrow()
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

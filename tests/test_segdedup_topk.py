@@ -1,0 +1,131 @@
+"""Unit tests for segment-level exact dedup (`stages/segdedup.py`),
+per-group top-k (`stages/aggregate.py::grouped_topk`), and the
+quantile_disc convention used by the corpus-relative quality gate."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _docs(rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    return ray.data.from_arrow(t)
+
+
+def _run_segdedup(rows, size):
+    from go_logagent_ray.stages.segdedup import segment_dedup
+
+    out = segment_dedup(_docs(rows), size=size).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_segment_dedup_drops_cross_doc_duplicates(ray_session):
+    out = _run_segdedup([
+        (0, "a b c d e f g h"),          # segs: "a b c d", "e f g h"
+        (1, "a b c d x y z w"),          # seg0 duplicates doc0 seg0
+    ], size=4)
+    assert out.text.tolist() == ["a b c d e f g h", "x y z w"]
+    assert out.n_segs.tolist() == [2, 2]
+    assert out.n_kept.tolist() == [2, 1]
+
+
+def test_segment_dedup_within_doc_and_first_occurrence_order(ray_session):
+    out = _run_segdedup([
+        (0, "m m m p q r s"),            # segs: "m m m p", "q r s"
+        (1, "q r s"),                    # dup of doc0 seg1 → dropped
+        (2, "p q r s p q r s"),          # seg0 == seg1 within doc
+    ], size=4)
+    assert out.text.tolist() == ["m m m p q r s", "", "p q r s"]
+    assert out.n_kept.tolist() == [2, 0, 1]
+
+
+def test_segment_dedup_empty_and_null_text(ray_session):
+    out = _run_segdedup([
+        (0, ""),       # one '' segment — kept (first occurrence)
+        (1, ""),       # its duplicate — dropped
+        (2, None),     # null text: no output row (matches the oracle)
+    ], size=4)
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.text.tolist() == ["", ""]
+    assert out.n_kept.tolist() == [1, 0]
+    assert out.n_segs.tolist() == [1, 1]
+
+
+def test_segment_dedup_every_distinct_segment_survives_once(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 13))))
+            for i in range(40)]
+    out = _run_segdedup(rows, size=3)
+    # every distinct segment text survives exactly once corpus-wide
+    # (kept text can't be re-chunked for comparison — boundaries shift
+    # when interior segments drop — so check the counts invariant)
+    all_segs = []
+    for _, t in rows:
+        w = t.split(" ")
+        all_segs.extend(" ".join(w[i:i + 3]) for i in range(0, len(w), 3))
+    assert int(out.n_kept.sum()) == len(set(all_segs))
+    assert int(out.n_segs.sum()) == len(all_segs)
+
+
+def test_grouped_topk_ties_and_small_groups(ray_session):
+    from go_logagent_ray.stages.aggregate import grouped_topk
+
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "score": pa.array([3, 3, 3, 1, 2, 9, 9], pa.int64()),
+        "id": pa.array([10, 2, 5, 1, 7, 20, 4], pa.int64()),
+    })
+    out = grouped_topk(ray.data.from_arrow(t), "g", "score", "id", k=3) \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+    # group a: score-desc, id-asc → (3,2),(3,5),(3,10)
+    a = out[out.g == "a"]
+    assert a["id"].tolist() == [2, 5, 10]
+    assert a["rank"].tolist() == [1, 2, 3]
+    # group b has only 2 rows — both ranked
+    b = out[out.g == "b"]
+    assert b["id"].tolist() == [4, 20]
+    assert b["rank"].tolist() == [1, 2]
+
+
+def test_grouped_topk_combiner_matches_single_block(ray_session):
+    """Partial top-k per block + merge == top-k computed globally."""
+    from go_logagent_ray.stages.aggregate import grouped_topk
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = pa.table({
+        "g": pa.array(rng.choice(["x", "y", "z"], n)),
+        "score": pa.array(rng.integers(0, 50, n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    many = grouped_topk(ray.data.from_arrow(t).repartition(13),
+                        "g", "score", "id", k=4).to_pandas()
+    one = grouped_topk(ray.data.from_arrow(t), "g", "score", "id",
+                       k=4).to_pandas()
+    key = ["g", "rank"]
+    many = many.sort_values(key).reset_index(drop=True)
+    one = one.sort_values(key).reset_index(drop=True)
+    assert many.equals(one)
+
+
+def test_quantile_disc_convention_matches_duckdb():
+    """The integer idx math in q_quality_threshold_docs — element at
+    ceil(n·q)−1 of the sorted multiset for q=0.25 — must equal DuckDB's
+    quantile_disc for every small n (off-by-one conventions differ
+    between engines; lock ours to the oracle's)."""
+    con = duckdb.connect()
+    rng = np.random.default_rng(11)
+    for n in range(1, 41):
+        vals = sorted(int(x) for x in rng.integers(0, 15, n))
+        idx = (n + 3) // 4 - 1  # ceil(n * 0.25) - 1
+        mine = vals[idx]
+        lit = ", ".join(f"({v})" for v in vals)
+        got = con.execute(
+            f"SELECT quantile_disc(v, 0.25) FROM (VALUES {lit}) t(v)"
+        ).fetchone()[0]
+        assert mine == got, (n, vals, mine, got)
