@@ -72,6 +72,33 @@ def test_segment_dedup_every_distinct_segment_survives_once(ray_session):
     assert int(out.n_segs.sum()) == len(all_segs)
 
 
+def test_chunk_explode_deep_batch_path_matches_loop_semantics():
+    """chunk_batch_fn switches to a token-explode plan for deep
+    non-overlapping batches (> 16 chunks/doc); it must be row-identical
+    to the per-chunk-index loop semantics."""
+    from go_logagent_ray.stages.chunk import chunk_batch_fn
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(10)]
+    texts = [" ".join(rng.choice(vocab, size=n))
+             for n in [1, 3, 7, 250, 300, 4]] + ["", None]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = chunk_batch_fn(size=3, stride=3)(t)  # max 100 chunks → explode
+    exp = []
+    for i, tx in enumerate(texts):
+        if tx is None:
+            continue
+        w = tx.split(" ")
+        for k in range(0, len(w), 3):
+            c = w[k:k + 3]
+            exp.append((i, k // 3, len(c), " ".join(c)))
+    rows = list(zip(got["doc_id"].to_pylist(), got["chunk_idx"].to_pylist(),
+                    got["n_words"].to_pylist(),
+                    got["chunk_text"].to_pylist()))
+    assert sorted(rows) == sorted(exp)
+
+
 def test_grouped_topk_ties_and_small_groups(ray_session):
     from go_logagent_ray.stages.aggregate import grouped_topk
 
