@@ -112,3 +112,26 @@ def test_semdedup_pairs_within_clusters(ray_session):
     with pytest.raises(ValueError, match="max_cluster_size"):
         semdedup_pairs(ray.data.from_arrow(t), threshold=0.99, k=2,
                        iters=1, max_cluster_size=5).to_pandas()
+
+
+def test_semdedup_blocked_matmul_finds_cross_block_pairs(ray_session):
+    """Regression for the row-blocked similarity pass: with n > ~2048
+    the per-cluster matmul runs in multiple row blocks; planted
+    duplicate pairs whose members land in DIFFERENT blocks must still
+    be found, and nothing else at 64 dims (random cosines ≪ 0.95)."""
+    from go_logagent_ray.stages.dedup import semdedup_pairs
+
+    rng = np.random.default_rng(13)
+    n, d = 3000, 64
+    vecs = rng.normal(0, 1, (n, d))
+    vecs[2900] = vecs[10]          # pair across matmul row blocks
+    vecs[2999] = vecs[1500]
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = semdedup_pairs(ray.data.from_arrow(t), threshold=0.95, k=1,
+                         iters=1).to_pandas()
+    got = sorted(zip(out.doc_a, out.doc_b))
+    assert got == [(10, 2900), (1500, 2999)]
