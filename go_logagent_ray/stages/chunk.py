@@ -51,8 +51,12 @@ def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
             # per doc, the common short-document case) the loop's 3-4
             # cheap passes beat the explode's token-row blowup —
             # measured both ways at sf0.1; crossover ~16 chunks.
+            # empty_as_null pinned: the polars default flips in 2.0,
+            # and a null token row would poison the cum-count below
+            # (unreachable today — str.split never yields [] — but the
+            # semantics must not depend on a changing default)
             tok = (df.select([id_field, "_w"]).with_row_index("_r")
-                   .explode("_w"))
+                   .explode("_w", empty_as_null=False))
             tok = tok.with_columns(
                 ((pl.col("_w").cum_count().over("_r") - 1) // size)
                 .cast(pl.Int64).alias("chunk_idx"))

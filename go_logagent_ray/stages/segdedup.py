@@ -31,7 +31,15 @@ Identity is EXACT segment-text equality via a 64-bit polars hash
 the SQL oracle would catch one at test scale). Positions pack as
 ``doc_id * MAX_SEGS + seg_idx`` so "first occurrence" is the
 lexicographic (doc_id, seg_idx) minimum in one int64 Min aggregate;
-docs with ≥ MAX_SEGS segments or negative ids fail loudly.
+docs with ≥ MAX_SEGS segments, negative ids, or ids ≥ 2^63/MAX_SEGS
+(which would wrap the packing) fail loudly.
+
+PRECONDITION: ``id_field`` is unique corpus-wide (it names a segment's
+position, so a repeated id makes two distinct occurrences
+indistinguishable and the output emits one row per (id, batch)).
+Same-batch violations fail loudly; CROSS-batch duplicates are
+undetectable without a global pass — run an id distinct-count (or
+``exact_dedup_broadcast``) first if ids are untrusted.
 """
 
 from __future__ import annotations
@@ -48,19 +56,18 @@ SEG_SIZE = 20
 MAX_SEGS = 1 << 20
 
 
-def _hash64(col) -> np.ndarray:
-    """Raw (un-normalized) 64-bit polars hash of a string column,
-    bit-reinterpreted to int64 (Ray groupby materializes key values as
-    Python ints; uint64 ≥ 2^63 would overflow that re-inference)."""
-    s = pl.from_arrow(col)
-    if not isinstance(s, pl.Series):
-        s = s.to_series(0)
-    return s.cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).to_numpy()
-
-
 def _packed_segments(batch: pa.Table, explode, id_field: str):
     """Explode one batch into segments; return (segs, fp, pk) where fp
     is the segment-text hash and pk the packed (doc_id, seg_idx)."""
+    from ..functions.textstats import raw_hash64
+
+    if batch.num_rows:
+        bids = batch[id_field].to_numpy(zero_copy_only=False)
+        if bids.size != np.unique(bids).size:
+            raise ValueError(
+                "segment_dedup requires unique ids (they define segment "
+                "positions); duplicate id in batch — dedup rows first "
+                "(e.g. exact_dedup_broadcast)")
     segs = explode(batch)
     if segs.num_rows == 0:
         e = np.zeros(0, np.int64)
@@ -70,12 +77,17 @@ def _packed_segments(batch: pa.Table, explode, id_field: str):
     if ids.size and int(ids.min()) < 0:
         raise ValueError("segment_dedup requires non-negative ids "
                          "(positions pack as id * MAX_SEGS + seg_idx)")
+    if ids.size and int(ids.max()) >= (1 << 63) // MAX_SEGS:
+        raise ValueError(
+            f"id {int(ids.max())} ≥ 2^63/MAX_SEGS: the packed position "
+            "would silently wrap int64 and corrupt first-occurrence "
+            "ordering; renumber ids below 2^43 or shrink MAX_SEGS")
     if idx.size and int(idx.max()) >= MAX_SEGS:
         raise ValueError(
             f"document has ≥ {MAX_SEGS} segments; raise MAX_SEGS "
             "(and re-check the int64 packing headroom) for such inputs")
     pk = ids.astype(np.int64) * MAX_SEGS + idx.astype(np.int64)
-    return segs, _hash64(segs["chunk_text"]), pk
+    return segs, raw_hash64(segs["chunk_text"]), pk
 
 
 def segment_keepers(ds: Dataset, *, size: int = SEG_SIZE,

@@ -156,3 +156,13 @@ def test_quantile_disc_convention_matches_duckdb():
             f"SELECT quantile_disc(v, 0.25) FROM (VALUES {lit}) t(v)"
         ).fetchone()[0]
         assert mine == got, (n, vals, mine, got)
+
+
+def test_segment_dedup_guards(ray_session):
+    from go_logagent_ray.stages.segdedup import segment_dedup
+
+    import pytest
+    with pytest.raises(Exception, match="unique ids"):
+        segment_dedup(_docs([(0, "a b"), (0, "c d")]), size=2).to_pandas()
+    with pytest.raises(Exception, match="wrap"):
+        segment_dedup(_docs([(1 << 44, "a b")]), size=2).to_pandas()
