@@ -414,9 +414,16 @@ def q_fingerprint_docs(sf_dir: str):
 
     reps = fp.map_batches(partial, batch_format="pyarrow") \
         .groupby("fp64").aggregate(Min("doc_id", alias_name="rep"))
-    rep_rows = reps.take_all()
-    keys = pa.array([r["fp64"] for r in rep_rows], type=pa.int64())
-    vals = pa.array([r["rep"] for r in rep_rows], type=pa.int64())
+    # Arrow batches → numpy (16 B per distinct text), never take_all
+    # row-dicts — same driver-memory rule as exact_dedup_broadcast
+    ks, vs = [], []
+    for b in reps.iter_batches(batch_format="pyarrow"):
+        ks.append(b.column("fp64").to_numpy(zero_copy_only=False))
+        vs.append(b.column("rep").to_numpy(zero_copy_only=False))
+    keys = pa.array(np.concatenate(ks) if ks else np.zeros(0, np.int64),
+                    type=pa.int64())
+    vals = pa.array(np.concatenate(vs) if vs else np.zeros(0, np.int64),
+                    type=pa.int64())
     ref = ray.put((keys, vals))
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -1845,6 +1852,9 @@ def q_curate_docs(sf_dir: str):
     # build_benchmark_grams, and the final clean→chunk→aggregate
     # lineage) — without this the read + bigram group_by re-execute
     # per consumer (same rule as ngram_jaccard_pairs_lsh's cands).
+    # At 100 TB the multi-consumer boundary would be a partitioned
+    # parquet checkpoint (state/checkpoint.py) instead of object-store
+    # materialization — same dataflow, resumable, spill-free.
     q = ds.map_batches(quality, batch_format="pyarrow",
                        zero_copy_batch=True).materialize()
     d = exact_dedup_broadcast(q).materialize()
