@@ -2337,6 +2337,27 @@ FROM q
 """
 
 
+def q_bpe_merges_docs(sf_dir: str):
+    """Distributed BPE tokenizer training (`stages/bpe.py`): the first
+    4 merge rules learned from the corpus. The working set is the
+    distinct-word table; per round one small (lhs, rhs) pair-count
+    groupby, a per-block partial argmax, and a vectorized Arrow merge
+    application — the corpus is read once."""
+    from ..stages.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_train(ds, rounds=4)
+
+
+def _sql_bpe_merges_docs() -> str:
+    from ..stages.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(rounds=4)
+
+
+SQL_BPE_MERGES_DOCS = _sql_bpe_merges_docs()
+
+
 def q_segment_dedup_docs(sf_dir: str):
     """Segment-level exact dedup (`stages/segdedup.py` — the
     aligned-window analog of exact substring dedup): drop repeated
@@ -2466,6 +2487,7 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
 # covered, not driver-run).
 QUERIES = {
     # --- round-3 new / previously driver-unverified ---
+    "bpe_merges_docs": q_bpe_merges_docs,
     "segment_dedup_docs": q_segment_dedup_docs,
     "topk_per_lang_docs": q_topk_per_lang_docs,
     "quality_threshold_docs": q_quality_threshold_docs,
@@ -2516,7 +2538,6 @@ QUERIES = {
     "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
     "session_windows_salted": q_session_windows_salted,
-    "incremental_counts": q_incremental_counts,
     "media_frames_docs": q_media_frames_docs,
 }
 
@@ -2542,9 +2563,12 @@ QUERIES = {
 # json_sink_rows, which marshals AND re-parses the written JSON;
 # token_stats_docs cedes to the in-window textstats family
 # (langid/repetition) — all three passed the r02 driver gate and free
-# slots for segment_dedup/topk_per_lang/quality_threshold). Still run
-# by the local pytest oracle gate.
+# slots for segment_dedup/topk_per_lang/quality_threshold;
+# incremental_counts (EP2 micro-batch counts, r02-proven) cedes to the
+# in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
+# slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    "incremental_counts": q_incremental_counts,
     "interpolate_events": q_interpolate_events,
     "json_sum_events": q_json_sum_events,
     "token_stats_docs": q_token_stats_docs,
@@ -2589,6 +2613,7 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bpe_merges_docs": SQL_BPE_MERGES_DOCS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
     "quality_threshold_docs": SQL_QUALITY_THRESHOLD_DOCS,
