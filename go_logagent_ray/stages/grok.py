@@ -199,6 +199,12 @@ class GrokParser:
                 arr = pc.coalesce(arr, p)
             cast = self.casts.get(name)
             if cast and cast != "string":
+                if cast == "int":
+                    # grok INT matches [+-]?\d+ and Python int() accepts
+                    # a leading '+', but Arrow's string→int parser does
+                    # not ("+0" fails the cast) — strip it first
+                    arr = pc.replace_substring_regex(
+                        arr, pattern=r"^\+", replacement="")
                 arr = pc.cast(arr, _CAST_ARROW[cast])
             if name not in batch.column_names or self.overwrite:
                 batch = set_column(batch, name, arr)
