@@ -2358,6 +2358,25 @@ def _sql_bpe_merges_docs() -> str:
 SQL_BPE_MERGES_DOCS = _sql_bpe_merges_docs()
 
 
+def q_bpe_vocab_docs(sf_dir: str):
+    """Token-frequency top-20 after applying the 4 learned BPE merges
+    (`stages/bpe.py::bpe_vocab`) — the vocabulary statistics a
+    tokenizer-training pipeline reports."""
+    from ..stages.bpe import bpe_vocab
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return bpe_vocab(ds, rounds=4, top=20)
+
+
+def _sql_bpe_vocab_docs() -> str:
+    from ..stages.bpe import bpe_vocab_oracle_sql
+
+    return bpe_vocab_oracle_sql(rounds=4, top=20)
+
+
+SQL_BPE_VOCAB_DOCS = _sql_bpe_vocab_docs()
+
+
 def q_segment_dedup_docs(sf_dir: str):
     """Segment-level exact dedup (`stages/segdedup.py` — the
     aligned-window analog of exact substring dedup): drop repeated
@@ -2568,6 +2587,7 @@ QUERIES = {
 # in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    "bpe_vocab_docs": q_bpe_vocab_docs,
     "incremental_counts": q_incremental_counts,
     "interpolate_events": q_interpolate_events,
     "json_sum_events": q_json_sum_events,
@@ -2614,6 +2634,7 @@ EXTRA_QUERIES = {
 
 ORACLE_SQL = {
     "bpe_merges_docs": SQL_BPE_MERGES_DOCS,
+    "bpe_vocab_docs": SQL_BPE_VOCAB_DOCS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
     "quality_threshold_docs": SQL_QUALITY_THRESHOLD_DOCS,

@@ -186,10 +186,12 @@ def _top_pair(pairs: Dataset):
     return rows[0]
 
 
-def bpe_train(ds: Dataset, rounds: int = 3,
-              text_field: str = "text") -> pa.Table:
+def bpe_train(ds: Dataset, rounds: int = 3, text_field: str = "text",
+              return_words: bool = False):
     """Learn the first ``rounds`` BPE merges; returns one row per round:
-    (round, left, right, merged, pair_n)."""
+    (round, lhs, rhs, merged, pair_n). With ``return_words`` also
+    returns the post-merge distinct-word Dataset (sym, cnt) — every
+    learned rule applied — for vocabulary statistics / encoding."""
     import polars as pl
 
     wc = word_counts(ds, text_field)
@@ -218,28 +220,53 @@ def bpe_train(ds: Dataset, rounds: int = 3,
         out["right"].append(right)
         out["merged"].append(left + right)
         out["pair_n"].append(int(top["n"]))
-        if r < rounds:
-            words = words.map_batches(
-                lambda b, left=left, right=right:
-                merge_apply(b, left, right),
-                batch_format="pyarrow").materialize()
-    return pa.table({
+        words = words.map_batches(
+            lambda b, left=left, right=right:
+            merge_apply(b, left, right),
+            batch_format="pyarrow").materialize()
+    merges = pa.table({
         "round": pa.array(out["round"], pa.int64()),
         "lhs": pa.array(out["left"], pa.string()),
         "rhs": pa.array(out["right"], pa.string()),
         "merged": pa.array(out["merged"], pa.string()),
         "pair_n": pa.array(out["pair_n"], pa.int64()),
     })
+    return (merges, words) if return_words else merges
 
 
-def bpe_oracle_sql(rounds: int = 3, table: str = "documents",
-                   text_field: str = "text") -> str:
-    """GENERATED DuckDB oracle for ``bpe_train`` — the same algorithm
-    unrolled as chained CTEs per merge round: per-position pair counts,
-    argmax under (n DESC, lhs, rhs), and leftmost-non-overlapping merge
-    application via the identical run-parity formula (window functions
-    over match positions). Generated from the round count so the two
-    sides cannot drift structurally."""
+def bpe_vocab(ds: Dataset, rounds: int = 3, top: int = 20,
+              text_field: str = "text") -> Dataset:
+    """Token-frequency statistics of the corpus AFTER applying the
+    learned merges: (token, n) — n weighted by word counts — top
+    ``top`` under (n DESC, token ASC). Runs entirely on the
+    distinct-word working set; the final sort is over the aggregated
+    token table (cardinality ≤ |alphabet| + rounds, each merge adds at
+    most one new symbol)."""
+    from .aggregate import grouped_sum
+
+    _, words = bpe_train(ds, rounds=rounds, text_field=text_field,
+                         return_words=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets, cnt = _flat_syms(batch)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lens = np.diff(offsets)
+        t = pa.table({"token": flat.cast(pa.string()),
+                      "n": pa.array(np.repeat(cnt, lens), pa.int64())})
+        p = t.group_by(["token"]).aggregate([("n", "sum")])
+        return p.select(["token", "n_sum"]).rename_columns(["token", "n"])
+
+    partials = words.map_batches(partial, batch_format="pyarrow")
+    total = grouped_sum(partials, ["token"], "n", alias="n")
+    return total.sort(["n", "token"], descending=[True, False]).limit(top)
+
+
+def _bpe_chain_sql(rounds: int, table: str, text_field: str,
+                   apply_all: bool) -> str:
+    """Shared CTE chain for the generated oracles: word counts, initial
+    symbols, and per-round pair counts / argmax / merge application."""
     parts = [f"""
 WITH wc AS (
   SELECT w AS word, COUNT(*) AS cnt
@@ -258,7 +285,7 @@ pair{r} AS (
   GROUP BY 1, 2),
 top{r} AS (
   SELECT lhs, rhs, n FROM pair{r} ORDER BY n DESC, lhs, rhs LIMIT 1)""")
-        if r < rounds:
+        if r < rounds or apply_all:
             parts.append(f""",
 m{r} AS (
   SELECT word, i FROM sym{r}, unnest(range(1, len(l))) t(i), top{r} tp
@@ -280,9 +307,32 @@ sym{r + 1} AS (
   LEFT JOIN k{r} k2 ON k2.word = s.word AND k2.i = s.p - 1
   WHERE k2.i IS NULL
   GROUP BY s.word, s.cnt)""")
+    return "".join(parts)
+
+
+def bpe_oracle_sql(rounds: int = 3, table: str = "documents",
+                   text_field: str = "text") -> str:
+    """GENERATED DuckDB oracle for ``bpe_train`` — the same algorithm
+    unrolled as chained CTEs per merge round: per-position pair counts,
+    argmax under (n DESC, lhs, rhs), and leftmost-non-overlapping merge
+    application via the identical run-parity formula (window functions
+    over match positions). Generated from the round count so the two
+    sides cannot drift structurally."""
+    chain = _bpe_chain_sql(rounds, table, text_field, apply_all=False)
     selects = [
         f"SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, "
         f"CAST(n AS BIGINT) AS pair_n FROM top{r}"
         for r in range(1, rounds + 1)]
-    parts.append("\n" + "\nUNION ALL\n".join(selects))
-    return "".join(parts)
+    return chain + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def bpe_vocab_oracle_sql(rounds: int = 3, top: int = 20,
+                         table: str = "documents",
+                         text_field: str = "text") -> str:
+    """GENERATED oracle for ``bpe_vocab``: the full merge chain with
+    every rule applied, then weighted token frequencies."""
+    chain = _bpe_chain_sql(rounds, table, text_field, apply_all=True)
+    return chain + f"""
+SELECT l[p] AS token, CAST(SUM(cnt) AS BIGINT) AS n
+FROM sym{rounds + 1}, unnest(range(1, len(l) + 1)) t(p)
+GROUP BY 1 ORDER BY n DESC, token LIMIT {top}"""

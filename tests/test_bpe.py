@@ -92,3 +92,45 @@ def test_bpe_random_corpora_match_reference(ray_session):
 def test_bpe_exhausts_when_no_pairs_remain(ray_session):
     # single-char words only: zero adjacent pairs → zero merge rows
     assert _train(["a b c", "a a"], 3) == []
+
+
+def _ref_vocab(texts, rounds, top):
+    wc = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: list(w) for w in wc}
+    merges = _ref_bpe(texts, rounds)
+    for _, lhs, rhs, _, _ in merges:
+        for w, syms in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs \
+                        and syms[i + 1] == rhs:
+                    new.append(lhs + rhs)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = new
+    tc = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            tc[s] += wc[w]
+    return sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+
+
+def test_bpe_vocab_matches_reference(ray_session):
+    from go_logagent_ray.stages.bpe import bpe_vocab
+
+    rng = np.random.default_rng(6)
+    vocab = ["aaaa", "abab", "xy", "xyxy", "aab", "ba"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 8)))
+             for _ in range(200)] + [None, ""]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = bpe_vocab(ray.data.from_arrow(t).repartition(4),
+                    rounds=3, top=10).to_pandas()
+    assert list(zip(got.token, got.n)) == _ref_vocab(texts, 3, 10)
