@@ -17,3 +17,16 @@ def stable_hash64(strings: list[str] | "pl.Series", seed: int = 0) -> np.ndarray
     """uint64 hash per input string, vectorized and process-stable."""
     s = strings if isinstance(strings, pl.Series) else pl.Series(strings, dtype=pl.Utf8)
     return s.hash(seed=seed).to_numpy().astype(np.uint64, copy=False)
+
+
+def stable_hash64_i64(col, seed: int = 0) -> np.ndarray:
+    """``stable_hash64`` bit-reinterpreted to int64 — THE form for hash
+    keys that feed a Ray groupby: Ray's aggregate materializes key
+    values as Python ints when combining, and uint64 values ≥ 2^63
+    overflow that int64 re-inference, silently degrading aggregate
+    output blocks to pickled-object columns. Accepts an Arrow
+    Array/ChunkedArray/Table column or a polars Series."""
+    s = col if isinstance(col, pl.Series) else pl.from_arrow(col)
+    if not isinstance(s, pl.Series):
+        s = s.to_series(0)
+    return stable_hash64(s.cast(pl.Utf8), seed=seed).view(np.int64)

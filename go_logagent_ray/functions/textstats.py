@@ -196,19 +196,7 @@ def fingerprint(batch: pa.Table, field: str = "text", out: str = "fp64") -> pa.T
         pc.replace_substring_regex(pc.utf8_lower(col), pattern=r"[^a-z0-9]+",
                                    replacement=" ")
     )
-    return set_column(batch, out, pa.array(raw_hash64(norm), pa.int64()))
+    from .hashing import stable_hash64_i64
 
-
-def raw_hash64(col) -> "np.ndarray":
-    """64-bit polars hash (seed 0) of a string column/array/Series,
-    bit-reinterpreted to int64 — THE shared idiom for hash keys that
-    feed a Ray groupby (Ray materializes key values as Python ints
-    when combining; uint64 ≥ 2^63 overflows that int64 re-inference
-    and silently degrades aggregate blocks to pickled-object columns).
-    Identity is EXACT input equality; no normalization."""
-    import polars as pl
-
-    s = pl.from_arrow(col) if not isinstance(col, pl.Series) else col
-    if not isinstance(s, pl.Series):
-        s = s.to_series(0)
-    return s.cast(pl.Utf8).hash(seed=0).reinterpret(signed=True).to_numpy()
+    return set_column(batch, out,
+                      pa.array(stable_hash64_i64(norm), pa.int64()))

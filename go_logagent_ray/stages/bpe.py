@@ -104,6 +104,10 @@ def merge_apply(batch: pa.Table, left: str, right: str) -> pa.Table:
         return batch
     match = np.zeros(n, dtype=bool)
     match[:n - 1] = _match_mask(flat, offsets, left, right)
+    if not match.any():
+        # no word in this batch contains the pair — skip the six-kernel
+        # rebuild (most batches, most rounds, on a large vocabulary)
+        return batch
     # keep even offsets within each consecutive-match run (overlapping
     # runs exist only when left == right — a match at i+1 needs
     # l[i+1] == left while the match at i needs l[i+1] == right; for

@@ -59,7 +59,7 @@ MAX_SEGS = 1 << 20
 def _packed_segments(batch: pa.Table, explode, id_field: str):
     """Explode one batch into segments; return (segs, fp, pk) where fp
     is the segment-text hash and pk the packed (doc_id, seg_idx)."""
-    from ..functions.textstats import raw_hash64
+    from ..functions.hashing import stable_hash64_i64
 
     if batch.num_rows:
         bids = batch[id_field].to_numpy(zero_copy_only=False)
@@ -87,7 +87,7 @@ def _packed_segments(batch: pa.Table, explode, id_field: str):
             f"document has ≥ {MAX_SEGS} segments; raise MAX_SEGS "
             "(and re-check the int64 packing headroom) for such inputs")
     pk = ids.astype(np.int64) * MAX_SEGS + idx.astype(np.int64)
-    return segs, raw_hash64(segs["chunk_text"]), pk
+    return segs, stable_hash64_i64(segs["chunk_text"]), pk
 
 
 def segment_keepers(ds: Dataset, *, size: int = SEG_SIZE,
