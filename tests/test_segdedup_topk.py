@@ -166,3 +166,76 @@ def test_segment_dedup_guards(ray_session):
         segment_dedup(_docs([(0, "a b"), (0, "c d")]), size=2).to_pandas()
     with pytest.raises(Exception, match="wrap"):
         segment_dedup(_docs([(1 << 44, "a b")]), size=2).to_pandas()
+
+
+def _py_segment_dedup(rows, size):
+    """Independent pure-Python reference of segment_dedup semantics."""
+    segs = {}
+    for doc_id, tx in rows:
+        if tx is None:
+            continue
+        w = tx.split(" ")
+        for k in range(0, len(w), size):
+            segs[(doc_id, k // size)] = " ".join(w[k:k + size])
+    first = {}
+    for (doc_id, si), txt in sorted(segs.items()):
+        first.setdefault(txt, (doc_id, si))
+    out = {}
+    for doc_id, tx in rows:
+        if tx is None:
+            continue
+        kept, tot = [], 0
+        w = tx.split(" ")
+        for k in range(0, len(w), size):
+            tot += 1
+            txt = " ".join(w[k:k + size])
+            if first[txt] == (doc_id, k // size):
+                kept.append(txt)
+        out[doc_id] = (" ".join(kept), tot, len(kept))
+    return out
+
+
+def test_segment_dedup_random_corpora_match_python_reference(ray_session):
+    """Full-output compare vs an independent reference on random
+    dup-heavy corpora across partition counts."""
+    for seed in (21, 22, 23):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(4)]  # tiny vocab → many dups
+        rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 11))))
+                for i in range(60)]
+        from go_logagent_ray.stages.segdedup import segment_dedup
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        got = segment_dedup(ray.data.from_arrow(t).repartition(int(seed) % 7 + 2),
+                            size=3).to_pandas().sort_values("doc_id")
+        exp = _py_segment_dedup(rows, 3)
+        for _, r in got.iterrows():
+            e = exp[r.doc_id]
+            assert (r.text, r.n_segs, r.n_kept) == e, (seed, r.doc_id)
+        assert len(got) == len(exp), seed
+
+
+def test_grouped_topk_matches_pandas_reference(ray_session):
+    import pandas as pd
+
+    from go_logagent_ray.stages.aggregate import grouped_topk
+
+    rng = np.random.default_rng(31)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], n),
+        "score": rng.integers(0, 9, n).astype("int64"),  # heavy ties
+        "id": np.arange(n, dtype="int64"),
+    })
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    got = grouped_topk(ray.data.from_arrow(t).repartition(9),
+                       "g", "score", "id", k=6).to_pandas()
+    exp = (df.sort_values(["score", "id"], ascending=[False, True])
+           .groupby("g", sort=False).head(6))
+    exp = exp.sort_values(["g", "score", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    exp["rank"] = exp.groupby("g").cumcount() + 1
+    got = got.sort_values(["g", "rank"]).reset_index(drop=True)[exp.columns]
+    assert got.astype(str).equals(exp.astype(str))
