@@ -2337,6 +2337,35 @@ FROM q
 """
 
 
+def q_zscore_filter_docs(sf_dir: str):
+    """Per-language σ-outlier removal on n_chars
+    (`stages/profile.py::grouped_zscore_filter`): keep docs with
+    |x − μ_lang| ≤ 2σ_lang, computed in EXACT integer arithmetic
+    ((x·n − S)² ≤ z²(n·Σx² − S²)) so no float rounding can diverge
+    from the SQL side."""
+    from ..stages.profile import grouped_zscore_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return grouped_zscore_filter(ds, "lang", "n_chars", z=2)
+
+
+# the same integer inequality, grouped stats via a window — no float
+# AVG/STDDEV on either side
+SQL_ZSCORE_FILTER_DOCS = """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         COUNT(*) OVER w AS n,
+         SUM(n_chars) OVER w AS s,
+         SUM(n_chars * n_chars) OVER w AS s2
+  FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+  WINDOW w AS (PARTITION BY lang))
+WHERE (n_chars * n + (-1) * s) * (n_chars * n + (-1) * s)
+      <= 4 * (n * s2 + (-1) * s * s)
+"""
+
+
 def q_bpe_merges_docs(sf_dir: str):
     """Distributed BPE tokenizer training (`stages/bpe.py`): the first
     4 merge rules learned from the corpus. The working set is the
@@ -2588,6 +2617,7 @@ QUERIES = {
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
     "bpe_vocab_docs": q_bpe_vocab_docs,
+    "zscore_filter_docs": q_zscore_filter_docs,
     "incremental_counts": q_incremental_counts,
     "interpolate_events": q_interpolate_events,
     "json_sum_events": q_json_sum_events,
@@ -2635,6 +2665,7 @@ EXTRA_QUERIES = {
 ORACLE_SQL = {
     "bpe_merges_docs": SQL_BPE_MERGES_DOCS,
     "bpe_vocab_docs": SQL_BPE_VOCAB_DOCS,
+    "zscore_filter_docs": SQL_ZSCORE_FILTER_DOCS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
     "quality_threshold_docs": SQL_QUALITY_THRESHOLD_DOCS,

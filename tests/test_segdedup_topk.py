@@ -239,3 +239,46 @@ def test_grouped_topk_matches_pandas_reference(ray_session):
     exp["rank"] = exp.groupby("g").cumcount() + 1
     got = got.sort_values(["g", "rank"]).reset_index(drop=True)[exp.columns]
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_grouped_zscore_filter_planted_outliers(ray_session):
+    from go_logagent_ray.stages.profile import grouped_zscore_filter
+
+    # group a: tight cluster around 100 plus one far outlier
+    vals_a = [100, 101, 99, 100, 102, 98, 100, 101, 99, 1000]
+    # group b: all equal → σ=0 → only exact-mean rows survive
+    vals_b = [50, 50, 50]
+    t = pa.table({
+        "g": pa.array(["a"] * len(vals_a) + ["b"] * len(vals_b)),
+        "x": pa.array(vals_a + vals_b, pa.int64()),
+        "i": pa.array(range(len(vals_a) + len(vals_b)), pa.int64()),
+    })
+    out = grouped_zscore_filter(ray.data.from_arrow(t).repartition(3),
+                                "g", "x", z=2).to_pandas()
+    kept_a = sorted(out[out.g == "a"].x)
+    assert 1000 not in kept_a and len(kept_a) == len(vals_a) - 1
+    assert sorted(out[out.g == "b"].x) == vals_b  # x == μ passes σ=0
+
+
+def test_grouped_zscore_filter_matches_python_reference(ray_session):
+    from go_logagent_ray.stages.profile import grouped_zscore_filter
+
+    rng = np.random.default_rng(41)
+    n = 400
+    g = rng.choice(["p", "q", "r"], n)
+    x = rng.integers(0, 1000, n).astype("int64")
+    t = pa.table({"g": pa.array(g), "x": pa.array(x, pa.int64()),
+                  "i": pa.array(np.arange(n), pa.int64())})
+    out = grouped_zscore_filter(ray.data.from_arrow(t).repartition(5),
+                                "g", "x", z=2).to_pandas()
+    keep = set()
+    for grp in ("p", "q", "r"):
+        xs = x[g == grp]
+        ids = np.arange(n)[g == grp]
+        nn, s, s2 = len(xs), int(xs.sum()), int((xs.astype(object) ** 2).sum())
+        rhs = 4 * (nn * s2 - s * s)
+        for i, v in zip(ids, xs):
+            d = int(v) * nn - s
+            if d * d <= rhs:
+                keep.add(int(i))
+    assert set(out.i) == keep
