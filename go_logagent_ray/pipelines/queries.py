@@ -2337,6 +2337,79 @@ FROM q
 """
 
 
+def q_spike_hours_events(sf_dir: str):
+    """Log-analytics spike detection (the alerting pass of a log
+    pipeline): hours where an event type's count exceeds 2× its
+    trailing 3-bucket average — INTEGER compare (n·3 > 2·Σ previous 3)
+    so the oracle hash is exact. Pre-aggregated hourly counts shuffle
+    (tiny); the trailing window runs per event_type on the aggregated
+    table (rows = distinct hours — time-bounded, fine in one task per
+    type even at 10¹² events). ROWS semantics: the trailing window is
+    over the previous 3 NON-EMPTY hour buckets, identical on both
+    sides."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    ds = ds.map_batches(PatchStage([("time_floor", "ts", "ts_hour",
+                                     "hour")]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    hc = counts_by(ds, ["event_type", "ts_hour"], alias="n")
+
+    def spikes(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("ts_hour").reset_index(drop=True)
+        n = g["n"].to_numpy()
+        c = np.concatenate(([0], np.cumsum(n)))
+        i = np.arange(len(n))
+        trail = c[i] - c[np.maximum(i - 3, 0)]
+        mask = (i >= 3) & (n * 3 > 2 * trail)
+        out = g[mask].copy()
+        out["trail3"] = trail[mask]
+        return out
+
+    return hc.groupby("event_type").map_groups(spikes,
+                                               batch_format="pandas")
+
+
+SQL_SPIKE_HOURS_EVENTS = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS ts_hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, ts_hour, n,
+         CAST(COALESCE(SUM(n) OVER tw, 0) AS BIGINT) AS trail3,
+         COUNT(*) OVER tw AS nprev
+  FROM hc
+  WINDOW tw AS (PARTITION BY event_type ORDER BY ts_hour
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+SELECT event_type, ts_hour, n, trail3 FROM w
+WHERE nprev = 3 AND n * 3 > 2 * trail3
+"""
+
+
+def q_topk_users_events(sf_dir: str):
+    """Top-5 most active users per event type — pre-aggregated
+    (event_type, user_id) counts feeding `grouped_topk` (literal
+    operator reuse: the combiner/merge machinery is the same as the
+    per-language document top-k)."""
+    from ..stages.aggregate import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    counts = counts_by(ds, ["event_type", "user_id"], alias="n")
+    return grouped_topk(counts, "event_type", "n", "user_id", k=5)
+
+
+SQL_TOPK_USERS_EVENTS = """
+SELECT event_type, n, user_id, CAST(rn AS BIGINT) AS rank
+FROM (SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rn
+      FROM (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2))
+WHERE rn <= 5
+"""
+
+
 def q_zscore_filter_docs(sf_dir: str):
     """Per-language σ-outlier removal on n_chars
     (`stages/profile.py::grouped_zscore_filter`): keep docs with
@@ -2618,6 +2691,8 @@ QUERIES = {
 EXTRA_QUERIES = {
     "bpe_vocab_docs": q_bpe_vocab_docs,
     "zscore_filter_docs": q_zscore_filter_docs,
+    "spike_hours_events": q_spike_hours_events,
+    "topk_users_events": q_topk_users_events,
     "incremental_counts": q_incremental_counts,
     "interpolate_events": q_interpolate_events,
     "json_sum_events": q_json_sum_events,
@@ -2666,6 +2741,8 @@ ORACLE_SQL = {
     "bpe_merges_docs": SQL_BPE_MERGES_DOCS,
     "bpe_vocab_docs": SQL_BPE_VOCAB_DOCS,
     "zscore_filter_docs": SQL_ZSCORE_FILTER_DOCS,
+    "spike_hours_events": SQL_SPIKE_HOURS_EVENTS,
+    "topk_users_events": SQL_TOPK_USERS_EVENTS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
     "quality_threshold_docs": SQL_QUALITY_THRESHOLD_DOCS,
