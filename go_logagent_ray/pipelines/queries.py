@@ -2410,6 +2410,66 @@ WHERE rn <= 5
 """
 
 
+def q_funnel_users_events(sf_dir: str):
+    """Funnel / conversion analysis: users whose FIRST signup precedes
+    their FIRST purchase, with both timestamps. Shape: per-batch
+    conditional-min partials (CASE-masked ts, one Arrow hash-agg per
+    batch) → one small (user, 2 mins) groupby → vectorized compare.
+    Only (user_id, 2 timestamps) rows ever shuffle."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        # aggregate on int64 MICROSECONDS, not timestamps: Ray's Min
+        # materializes values as Python objects when combining, and
+        # datetime values can't rebuild a timestamp Arrow array there —
+        # the block silently degrades to pickled-object columns
+        ts = pc.cast(batch["ts"], pa.int64())
+        masked = pa.table({
+            "user_id": batch["user_id"],
+            "ts_signup": pc.if_else(pc.equal(et, pa.scalar("signup")),
+                                    ts, pa.nulls(batch.num_rows,
+                                                 pa.int64())),
+            "ts_purchase": pc.if_else(pc.equal(et, pa.scalar("purchase")),
+                                      ts, pa.nulls(batch.num_rows,
+                                                   pa.int64())),
+        })
+        p = masked.group_by(["user_id"]).aggregate(
+            [("ts_signup", "min"), ("ts_purchase", "min")])
+        return p.select(["user_id", "ts_signup_min", "ts_purchase_min"]) \
+            .rename_columns(["user_id", "ts_signup", "ts_purchase"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    mins = parts.groupby("user_id").aggregate(
+        Min("ts_signup", alias_name="ts_signup"),
+        Min("ts_purchase", alias_name="ts_purchase"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(batch["ts_signup"]),
+                            pc.is_valid(batch["ts_purchase"])),
+                    pc.less(batch["ts_signup"], batch["ts_purchase"]))
+        t = batch.filter(pc.fill_null(m, False))
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_signup": pc.cast(t["ts_signup"], pa.timestamp("us")),
+            "ts_purchase": pc.cast(t["ts_purchase"], pa.timestamp("us")),
+        })
+
+    return mins.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_FUNNEL_USERS_EVENTS = """
+SELECT user_id,
+       MIN(CASE WHEN event_type = 'signup' THEN ts END) AS ts_signup,
+       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS ts_purchase
+FROM events GROUP BY 1
+HAVING ts_signup IS NOT NULL AND ts_purchase IS NOT NULL
+   AND ts_signup < ts_purchase
+"""
+
+
 def q_zscore_filter_docs(sf_dir: str):
     """Per-language σ-outlier removal on n_chars
     (`stages/profile.py::grouped_zscore_filter`): keep docs with
@@ -2692,6 +2752,7 @@ EXTRA_QUERIES = {
     "bpe_vocab_docs": q_bpe_vocab_docs,
     "zscore_filter_docs": q_zscore_filter_docs,
     "spike_hours_events": q_spike_hours_events,
+    "funnel_users_events": q_funnel_users_events,
     "topk_users_events": q_topk_users_events,
     "incremental_counts": q_incremental_counts,
     "interpolate_events": q_interpolate_events,
@@ -2742,6 +2803,7 @@ ORACLE_SQL = {
     "bpe_vocab_docs": SQL_BPE_VOCAB_DOCS,
     "zscore_filter_docs": SQL_ZSCORE_FILTER_DOCS,
     "spike_hours_events": SQL_SPIKE_HOURS_EVENTS,
+    "funnel_users_events": SQL_FUNNEL_USERS_EVENTS,
     "topk_users_events": SQL_TOPK_USERS_EVENTS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
