@@ -2349,13 +2349,13 @@ def q_spike_hours_events(sf_dir: str):
     sides."""
     import pandas as pd
 
+    from ..stages.window import tumbling_window_counts
+
     ds = _read(sf_dir, "events", ["event_type", "ts"])
-    ds = ds.map_batches(PatchStage([("time_floor", "ts", "ts_hour",
-                                     "hour")]),
-                        batch_format="pyarrow", zero_copy_batch=True)
-    hc = counts_by(ds, ["event_type", "ts_hour"], alias="n")
+    hc = tumbling_window_counts(ds, "event_type", "ts", window="hour")
 
     def spikes(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.rename(columns={"window_start": "ts_hour"})
         g = g.sort_values("ts_hour").reset_index(drop=True)
         n = g["n"].to_numpy()
         c = np.concatenate(([0], np.cumsum(n)))
@@ -2425,8 +2425,11 @@ def q_funnel_users_events(sf_dir: str):
         # aggregate on int64 MICROSECONDS, not timestamps: Ray's Min
         # materializes values as Python objects when combining, and
         # datetime values can't rebuild a timestamp Arrow array there —
-        # the block silently degrades to pickled-object columns
-        ts = pc.cast(batch["ts"], pa.int64())
+        # the block silently degrades to pickled-object columns. The
+        # us-cast first pins the unit (a ns-written parquet would
+        # otherwise be relabeled us downstream, 1000× off).
+        ts = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64())
         masked = pa.table({
             "user_id": batch["user_id"],
             "ts_signup": pc.if_else(pc.equal(et, pa.scalar("signup")),

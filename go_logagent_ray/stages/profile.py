@@ -98,21 +98,18 @@ def grouped_zscore_filter(ds: Dataset, group_key: str, value_col: str,
     loudly, and beyond the sum bound the extension is a hi/lo split
     accumulator. Null group or value rows are dropped (SQL join
     semantics)."""
+    import math
+
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([group_key, value_col]).drop_null()
-        x = t.column(value_col)
-        x2 = pc.multiply_checked(pc.cast(x, pa.int64()),
-                                 pc.cast(x, pa.int64()))
-        p = pa.table({group_key: t.column(group_key),
-                      "n": pa.nulls(t.num_rows, pa.int64()),
-                      "s": pc.cast(x, pa.int64()),
-                      "s2": x2}) \
-            .set_column(1, "n", pa.array(np.ones(t.num_rows, np.int64))) \
+        x = pc.cast(t.column(value_col), pa.int64())
+        x2 = pc.multiply_checked(x, x)
+        p = pa.table({group_key: t.column(group_key), "s": x, "s2": x2}) \
             .group_by([group_key]) \
-            .aggregate([("n", "sum"), ("s", "sum"), ("s2", "sum")])
-        return p.select([group_key, "n_sum", "s_sum", "s2_sum"]) \
+            .aggregate([([], "count_all"), ("s", "sum"), ("s2", "sum")])
+        return p.select([group_key, "count_all", "s_sum", "s2_sum"]) \
             .rename_columns([group_key, "n", "s", "s2"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
@@ -120,59 +117,69 @@ def grouped_zscore_filter(ds: Dataset, group_key: str, value_col: str,
         Sum("n", alias_name="n"), Sum("s", alias_name="s"),
         Sum("s2", alias_name="s2"))
     # group cardinality is bounded (languages/sources); Python ints for
-    # the exact arithmetic
+    # the exact arithmetic. Per group: keep (n, S, rhs) and whether the
+    # int64 vectorized compare is PROVEN safe via |d| ≤ n·√Σx² + |S|.
     thr: dict = {}
-    fits64 = True
     for b in stats.iter_batches(batch_format="pyarrow"):
         for g, n, s, s2 in zip(b[group_key].to_pylist(),
                                b["n"].to_pylist(), b["s"].to_pylist(),
                                b["s2"].to_pylist()):
             n, s, s2 = int(n), int(s), int(s2)
-            rhs = z * z * (n * s2 - s * s)
-            thr[g] = (n, s, rhs)
-            # |d| = |x·n − S| ≤ n·√Σx² + |S| — conservative int64 proof
-            d_bound = n * int(s2 ** 0.5 + 1) + abs(s)
-            if d_bound * d_bound >= (1 << 63) or rhs >= (1 << 63):
-                fits64 = False
+            var_term = n * s2 - s * s
+            if s2 < 0 or var_term < 0:
+                # Arrow's int64 sum is unchecked — a wrapped Σx² shows
+                # up as a negative sum or a Cauchy-Schwarz violation
+                # (n·Σx² ≥ S² always holds mathematically)
+                raise ValueError(
+                    f"grouped_zscore_filter: group {g!r} partial sums "
+                    "overflowed int64 — the regime bound "
+                    "n_g·max(x)² < 2^63 is exceeded; rescale values "
+                    "or add a hi/lo split accumulator")
+            rhs = z * z * var_term
+            d_bound = n * (math.isqrt(s2) + 1) + abs(s)
+            fits = d_bound * d_bound < (1 << 63) and rhs < (1 << 63)
+            thr[g] = (n, s, rhs, fits)
     keys = list(thr)
-    ref = ray.put((
-        pa.array(keys),
-        np.array([thr[g][0] for g in keys], np.int64) if fits64 else None,
-        np.array([thr[g][1] for g in keys], np.int64) if fits64 else None,
-        np.array([thr[g][2] for g in keys], np.int64) if fits64 else None,
-        thr if not fits64 else None,
-    ))
+    fit_np = np.array([thr[g][3] for g in keys], dtype=bool)
+    # unfit groups get zero placeholders — never read on the vector
+    # path (masked by fit_np), never overflow it either
+    n_a = np.array([thr[g][0] if thr[g][3] else 0 for g in keys],
+                   np.int64)
+    s_a = np.array([thr[g][1] if thr[g][3] else 0 for g in keys],
+                   np.int64)
+    rhs_a = np.array([thr[g][2] if thr[g][3] else 0 for g in keys],
+                     np.int64)
+    bad = {g: thr[g][:3] for g in keys if not thr[g][3]}
+    ref = ray.put((pa.array(keys), n_a, s_a, rhs_a, fit_np, bad))
 
     def keep(batch: pa.Table) -> pa.Table:
-        key_arr, n_a, s_a, rhs_a, tm = ray.get(ref)
+        key_arr, n_v, s_v, rhs_v, fit_v, bad_v = ray.get(ref)
         # null checks on the join columns only — other columns may
         # legitimately hold nulls
         t = batch.filter(pc.and_(pc.is_valid(batch[group_key]),
                                  pc.is_valid(batch[value_col])))
         if t.num_rows == 0:
             return t
-        if tm is None:
-            # vectorized int64 path (proven overflow-free above)
-            idx = pc.index_in(as_combined(t[group_key]),
-                              value_set=key_arr)
-            valid = pc.is_valid(idx).to_numpy(zero_copy_only=False) \
-                .astype(bool)
-            ii = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            x = t.column(value_col).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            d = x * n_a[ii] - s_a[ii]
-            mask = valid & (d * d <= rhs_a[ii])
-            return t.filter(pa.array(mask))
-        gs = t.column(group_key).to_pylist()
-        xs = t.column(value_col).to_pylist()
-        mask = np.zeros(t.num_rows, dtype=bool)
-        for i, (g, x) in enumerate(zip(gs, xs)):
-            st = tm.get(g)
-            if st is not None:
-                n, s, rhs = st
-                d = int(x) * n - s
-                mask[i] = d * d <= rhs
+        idx = pc.index_in(as_combined(t[group_key]), value_set=key_arr)
+        valid = pc.is_valid(idx).to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        ii = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = t.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = x * n_v[ii] - s_v[ii]
+        fit_rows = fit_v[ii]
+        mask = valid & fit_rows & (d * d <= rhs_v[ii])
+        # per-row Python-int fallback ONLY for rows of unproven groups
+        unfit = np.nonzero(valid & ~fit_rows)[0]
+        if unfit.size:
+            gcol = t.column(group_key)
+            for i in unfit:
+                st = bad_v.get(gcol[int(i)].as_py())
+                if st is not None:
+                    n, s, rhs = st
+                    dd = int(x[i]) * n - s
+                    mask[i] = dd * dd <= rhs
         return t.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -282,3 +282,33 @@ def test_grouped_zscore_filter_matches_python_reference(ray_session):
             if d * d <= rhs:
                 keep.add(int(i))
     assert set(out.i) == keep
+
+
+def test_grouped_zscore_filter_per_group_fallback_and_wrap_guard(ray_session):
+    import pytest
+
+    from go_logagent_ray.stages.profile import grouped_zscore_filter
+
+    # "big" group: s2 = 2·(2e9)² ≈ 8e18 fits int64, but the d-bound
+    # proof fails → per-row Python-int fallback for THIS group only;
+    # "small" stays on the vectorized path. Both 2-point groups keep
+    # everything (each point is exactly 1σ from the mean).
+    small = [10, 11, 12] * 3 + [500]  # 9 tight inliers + far outlier
+    t = pa.table({
+        "g": pa.array(["big", "big"] + ["small"] * len(small)),
+        "x": pa.array([2_000_000_000, 2_000_000_001] + small, pa.int64()),
+    })
+    out = grouped_zscore_filter(ray.data.from_arrow(t).repartition(2),
+                                "g", "x", z=2).to_pandas()
+    assert sorted(out[out.g == "big"].x) == [2_000_000_000, 2_000_000_001]
+    # 500 sits ~3σ out even with its own σ inflation → dropped
+    assert sorted(out[out.g == "small"].x) == sorted(small[:-1])
+
+    # Σx² wrapping int64 must fail LOUDLY, not mis-filter
+    bad = pa.table({
+        "g": pa.array(["w"] * 4),
+        "x": pa.array([2_900_000_000] * 4, pa.int64()),
+    })
+    with pytest.raises(Exception, match="overflowed int64"):
+        grouped_zscore_filter(ray.data.from_arrow(bad), "g", "x",
+                              z=2).to_pandas()
