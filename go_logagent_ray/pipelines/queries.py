@@ -2410,6 +2410,27 @@ WHERE rn <= 5
 """
 
 
+def q_bpe_encode_docs(sf_dir: str):
+    """Exact per-document BPE token counts with the 4 learned merges
+    (`stages/bpe.py::bpe_token_counts`) — the encode side of tokenizer
+    training: train on the distinct-word set, broadcast the
+    word→token-length map once, second streaming corpus pass with a
+    vectorized polars join."""
+    from ..stages.bpe import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_counts(ds, rounds=4)
+
+
+def _sql_bpe_encode_docs() -> str:
+    from ..stages.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(rounds=4)
+
+
+SQL_BPE_ENCODE_DOCS = _sql_bpe_encode_docs()
+
+
 def q_funnel_users_events(sf_dir: str):
     """Funnel / conversion analysis: users whose FIRST signup precedes
     their FIRST purchase, with both timestamps. Shape: per-batch
@@ -2756,6 +2777,7 @@ EXTRA_QUERIES = {
     "zscore_filter_docs": q_zscore_filter_docs,
     "spike_hours_events": q_spike_hours_events,
     "funnel_users_events": q_funnel_users_events,
+    "bpe_encode_docs": q_bpe_encode_docs,
     "topk_users_events": q_topk_users_events,
     "incremental_counts": q_incremental_counts,
     "interpolate_events": q_interpolate_events,
@@ -2807,6 +2829,7 @@ ORACLE_SQL = {
     "zscore_filter_docs": SQL_ZSCORE_FILTER_DOCS,
     "spike_hours_events": SQL_SPIKE_HOURS_EVENTS,
     "funnel_users_events": SQL_FUNNEL_USERS_EVENTS,
+    "bpe_encode_docs": SQL_BPE_ENCODE_DOCS,
     "topk_users_events": SQL_TOPK_USERS_EVENTS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,

@@ -132,8 +132,11 @@ def merge_apply(batch: pa.Table, left: str, right: str) -> pa.Table:
     new_off = np.zeros(len(new_lens) + 1, dtype=np.int64)
     np.cumsum(new_lens, out=new_off[1:])
     sym = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), values)
-    return pa.table({"sym": sym.cast(_SYM_TYPE),
-                     "cnt": pa.array(cnt, pa.int64())})
+    out = {"sym": sym.cast(_SYM_TYPE), "cnt": pa.array(cnt, pa.int64())}
+    for c in batch.column_names:  # passthrough (e.g. the word itself)
+        if c not in out:
+            out[c] = batch[c]
+    return pa.table(out)
 
 
 def pair_counts(words: Dataset) -> Dataset:
@@ -206,10 +209,11 @@ def bpe_train(ds: Dataset, rounds: int = 3, text_field: str = "text",
         # matching the SQL oracle's per-character w[i] indexing
         df = df.with_columns(
             pl.col("word").str.extract_all(r"(?s).").alias("sym"))
-        out = df.select(["sym", "cnt"]).to_arrow()
+        out = df.select(["sym", "cnt", "word"]).to_arrow()
         return pa.table({"sym": out["sym"].cast(_SYM_TYPE)
                          if out["sym"].type != _SYM_TYPE else out["sym"],
-                         "cnt": out["cnt"]})
+                         "cnt": out["cnt"],
+                         "word": out["word"]})
 
     words = wc.map_batches(to_syms, batch_format="pyarrow").materialize()
     out = {"round": [], "left": [], "right": [], "merged": [],
@@ -265,6 +269,61 @@ def bpe_vocab(ds: Dataset, rounds: int = 3, top: int = 20,
     partials = words.map_batches(partial, batch_format="pyarrow")
     total = grouped_sum(partials, ["token"], "n", alias="n")
     return total.sort(["n", "token"], descending=[True, False]).limit(top)
+
+
+def bpe_token_counts(ds: Dataset, rounds: int = 3,
+                     text_field: str = "text",
+                     id_field: str = "doc_id") -> Dataset:
+    """ENCODE side of tokenizer training: exact per-document BPE token
+    counts after applying the learned merges — one row per
+    non-null-text doc, (id, n_tokens).
+
+    Scale shape: train on the distinct-word working set as usual, then
+    broadcast the (word → token-length) map ONCE and make a second
+    streaming corpus pass where each batch tokenizes via a vectorized
+    polars join against the map. Regime: the distinct-word map must fit
+    the object store (~10⁸ words × ~20 B is GBs — fine); past that,
+    attach lengths via the hash-partitioned SIDE_COL co-group pattern
+    instead of a broadcast."""
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    _, words = bpe_train(ds, rounds=rounds, text_field=text_field,
+                         return_words=True)
+    wparts = []
+    for b in words.iter_batches(batch_format="pyarrow"):
+        wparts.append(pa.table({
+            "word": b.column("word").cast(pa.string()),
+            "ntok": pc.cast(pc.list_value_length(b.column("sym")),
+                            pa.int64()),
+        }))
+    wmap = pa.concat_tables(wparts) if wparts else \
+        pa.table({"word": pa.array([], pa.string()),
+                  "ntok": pa.array([], pa.int64())})
+    ref = ray.put(wmap)
+
+    def count(batch: pa.Table) -> pa.Table:
+        wm = pl.from_arrow(ray.get(ref))
+        df = pl.from_arrow(batch.select([id_field, text_field]))
+        df = df.with_columns(pl.col(text_field).cast(pl.Utf8)) \
+            .filter(pl.col(text_field).is_not_null())
+        if len(df) == 0:
+            return pa.table({id_field: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64())})
+        tok = (df.select([id_field,
+                          pl.col(text_field).str.split(" ").alias("_w")])
+               .explode("_w", empty_as_null=False)
+               .filter(pl.col("_w") != ""))
+        per = (tok.join(wm, left_on="_w", right_on="word", how="inner")
+               .group_by(id_field).agg(pl.col("ntok").sum()))
+        out = (df.select([id_field]).join(per, on=id_field, how="left")
+               .with_columns(pl.col("ntok").fill_null(0)
+                             .cast(pl.Int64).alias("n_tokens"))
+               .select([id_field, "n_tokens"]))
+        return out.to_arrow()
+
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
 def _bpe_chain_sql(rounds: int, table: str, text_field: str,
@@ -340,3 +399,23 @@ def bpe_vocab_oracle_sql(rounds: int = 3, top: int = 20,
 SELECT l[p] AS token, CAST(SUM(cnt) AS BIGINT) AS n
 FROM sym{rounds + 1}, unnest(range(1, len(l) + 1)) t(p)
 GROUP BY 1 ORDER BY n DESC, token LIMIT {top}"""
+
+
+def bpe_encode_oracle_sql(rounds: int = 3, table: str = "documents",
+                          text_field: str = "text",
+                          id_field: str = "doc_id") -> str:
+    """GENERATED oracle for ``bpe_token_counts``: full merge chain,
+    word→token-length lookup, per-doc summed over unnested words
+    (''-words drop out of the inner join on both sides)."""
+    chain = _bpe_chain_sql(rounds, table, text_field, apply_all=True)
+    return chain + f""",
+wl AS (SELECT word, CAST(len(l) AS BIGINT) AS ntok
+       FROM sym{rounds + 1}),
+dw AS (SELECT {id_field}, unnest(string_split({text_field}, ' ')) AS w
+       FROM {table} WHERE {text_field} IS NOT NULL),
+sums AS (SELECT dw.{id_field}, SUM(wl.ntok) AS s
+         FROM dw JOIN wl ON wl.word = dw.w GROUP BY 1)
+SELECT doc.{id_field}, CAST(COALESCE(s, 0) AS BIGINT) AS n_tokens
+FROM (SELECT {id_field} FROM {table}
+      WHERE {text_field} IS NOT NULL) doc
+LEFT JOIN sums USING ({id_field})"""

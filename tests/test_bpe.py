@@ -134,3 +134,34 @@ def test_bpe_vocab_matches_reference(ray_session):
     got = bpe_vocab(ray.data.from_arrow(t).repartition(4),
                     rounds=3, top=10).to_pandas()
     assert list(zip(got.token, got.n)) == _ref_vocab(texts, 3, 10)
+
+
+def test_bpe_token_counts_match_reference(ray_session):
+    from go_logagent_ray.stages.bpe import bpe_token_counts
+
+    rng = np.random.default_rng(8)
+    vocab = ["aaaa", "abab", "xy", "xyxy", "aab", "ba", "q"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 8)))
+             for _ in range(150)] + [None, ""]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = bpe_token_counts(ray.data.from_arrow(t).repartition(4),
+                           rounds=3).to_pandas().sort_values("doc_id")
+
+    # reference: replay merges on fresh words, then count per doc
+    merges = _ref_bpe(texts, 3)
+    def encode(word):
+        syms = list(word)
+        for _, lhs, rhs, _, _ in merges:
+            new, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == lhs \
+                        and syms[i + 1] == rhs:
+                    new.append(lhs + rhs); i += 2
+                else:
+                    new.append(syms[i]); i += 1
+            syms = new
+        return len(syms)
+    exp = {i: sum(encode(w) for w in tx.split(" ") if w)
+           for i, tx in enumerate(texts) if tx is not None}
+    assert dict(zip(got.doc_id, got.n_tokens)) == exp
