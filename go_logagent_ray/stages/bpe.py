@@ -209,11 +209,10 @@ def bpe_train(ds: Dataset, rounds: int = 3, text_field: str = "text",
         # matching the SQL oracle's per-character w[i] indexing
         df = df.with_columns(
             pl.col("word").str.extract_all(r"(?s).").alias("sym"))
-        out = df.select(["sym", "cnt", "word"]).to_arrow()
+        out = df.select(["sym", "cnt"]).to_arrow()
         return pa.table({"sym": out["sym"].cast(_SYM_TYPE)
                          if out["sym"].type != _SYM_TYPE else out["sym"],
-                         "cnt": out["cnt"],
-                         "word": out["word"]})
+                         "cnt": out["cnt"]})
 
     words = wc.map_batches(to_syms, batch_format="pyarrow").materialize()
     out = {"round": [], "left": [], "right": [], "merged": [],
@@ -278,39 +277,60 @@ def bpe_token_counts(ds: Dataset, rounds: int = 3,
     counts after applying the learned merges — one row per
     non-null-text doc, (id, n_tokens).
 
-    Scale shape: train on the distinct-word working set as usual, then
-    broadcast the (word → token-length) map ONCE and make a second
-    streaming corpus pass where each batch tokenizes via a vectorized
-    polars join against the map. Regime: the distinct-word map must fit
-    the object store (~10⁸ words × ~20 B is GBs — fine); past that,
-    attach lengths via the hash-partitioned SIDE_COL co-group pattern
-    instead of a broadcast."""
+    Scale shape: train on the distinct-word working set as usual;
+    project the post-merge table DOWN to (word, token-length)
+    distributed — the word string is reconstructed as the
+    concatenation of its symbols (merges only ever join adjacent
+    symbols), so training never carries it — then broadcast the map
+    ONCE and make a second streaming corpus pass where each batch
+    tokenizes via a vectorized polars join against the map (converted
+    from Arrow once per worker process, cached). Regime: the
+    distinct-word map must fit the object store (~10⁸ words × ~20 B is
+    GBs — fine); past that, attach lengths via the hash-partitioned
+    SIDE_COL co-group pattern instead of a broadcast.
+
+    PRECONDITION: ``id_field`` is unique corpus-wide — a duplicate id
+    spanning batches would receive per-batch partial counts where the
+    SQL oracle attaches the global sum to every duplicate row."""
     import polars as pl
     import pyarrow.compute as pc
     import ray
 
     _, words = bpe_train(ds, rounds=rounds, text_field=text_field,
                          return_words=True)
-    wparts = []
-    for b in words.iter_batches(batch_format="pyarrow"):
-        wparts.append(pa.table({
-            "word": b.column("word").cast(pa.string()),
-            "ntok": pc.cast(pc.list_value_length(b.column("sym")),
-                            pa.int64()),
-        }))
+
+    def project(b: pa.Table) -> pa.Table:
+        sym = b.column("sym")
+        return pa.table({
+            "word": pc.binary_join(
+                sym, pa.scalar("", type=pa.large_string())).cast(
+                    pa.string()),
+            "ntok": pc.cast(pc.list_value_length(sym), pa.int64()),
+        })
+
+    wparts = list(words.map_batches(project, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow"))
     wmap = pa.concat_tables(wparts) if wparts else \
         pa.table({"word": pa.array([], pa.string()),
                   "ntok": pa.array([], pa.int64())})
     ref = ray.put(wmap)
 
     def count(batch: pa.Table) -> pa.Table:
-        wm = pl.from_arrow(ray.get(ref))
         df = pl.from_arrow(batch.select([id_field, text_field]))
         df = df.with_columns(pl.col(text_field).cast(pl.Utf8)) \
             .filter(pl.col(text_field).is_not_null())
         if len(df) == 0:
-            return pa.table({id_field: pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64())})
+            return pa.table({
+                id_field: pa.array([],
+                                   batch.schema.field(id_field).type),
+                "n_tokens": pa.array([], pa.int64())})
+        wm = _WM_CACHE.get(ref.hex())
+        if wm is None:
+            # Arrow→polars conversion of the multi-GB map once per
+            # worker process, not once per batch
+            wm = pl.from_arrow(ray.get(ref))
+            _WM_CACHE.clear()
+            _WM_CACHE[ref.hex()] = wm
         tok = (df.select([id_field,
                           pl.col(text_field).str.split(" ").alias("_w")])
                .explode("_w", empty_as_null=False)
@@ -324,6 +344,11 @@ def bpe_token_counts(ds: Dataset, rounds: int = 3,
         return out.to_arrow()
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+# per-worker-process cache of the encode broadcast map (cleared when a
+# new map arrives so stale multi-GB tables don't accumulate)
+_WM_CACHE: dict = {}
 
 
 def _bpe_chain_sql(rounds: int, table: str, text_field: str,
