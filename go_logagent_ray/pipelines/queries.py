@@ -2609,6 +2609,64 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_cdc_dedup_docs(sf_dir: str):
+    """Segment dedup with CONTENT-DEFINED chunk boundaries
+    (`stages/segdedup.py` mode="cdc" / `stages/chunk.py::cdc_chunk_fn`):
+    a chunk ends after any word whose 64-bit hash ≡ 0 (mod 20), so
+    boundaries re-synchronize after insertions and a shifted duplicate
+    still dedups — closing the aligned-grid blindspot pinned in
+    tests/test_segdedup_topk.py. md5 anchor mode mirrors DuckDB's
+    ``md5_number_lower`` so the oracle recomputes identical
+    boundaries. Same two-pass keeper/broadcast/scrub machinery as
+    segment_dedup_docs; documents never shuffle."""
+    from ..stages.segdedup import segment_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup(ds, size=20, mode="cdc", token_hash="md5")
+
+
+# Chunk index = number of anchor words strictly before this word in the
+# doc (the anchor ends its own chunk); anchors via md5_number_lower —
+# bit-identical to the Ray side's md5 token-hash mode. keep groups by
+# EXACT chunk text where the Ray side uses its 64-bit hash (collision
+# odds ~n²/2⁶⁵ at test scale), packing constant 1 << 20 as in the
+# aligned oracle.
+SQL_CDC_DEDUP_DOCS = """
+WITH tok AS (
+  SELECT doc_id, i, w[i] AS word,
+         CASE WHEN md5_number_lower(w[i]) % 20 = 0 THEN 1 ELSE 0 END AS a
+  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL),
+       unnest(range(1, len(w) + 1)) t(i)),
+ch AS (
+  SELECT doc_id, i, word,
+         SUM(a) OVER (PARTITION BY doc_id ORDER BY i) - a AS cidx
+  FROM tok),
+segs AS (
+  SELECT doc_id, CAST(cidx AS BIGINT) AS seg_idx,
+         string_agg(word, ' ' ORDER BY i) AS seg_text
+  FROM ch GROUP BY 1, 2),
+keep AS (
+  SELECT seg_text, MIN(doc_id * 1048576 + seg_idx) AS pk
+  FROM segs GROUP BY 1),
+kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text
+  FROM segs s JOIN keep k
+    ON s.seg_text = k.seg_text
+   AND s.doc_id * 1048576 + s.seg_idx = k.pk),
+agg AS (
+  SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS txt,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+  FROM segs GROUP BY 1)
+SELECT t.doc_id, COALESCE(a.txt, '') AS text, t.n_segs,
+       COALESCE(a.n_kept, 0) AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_topk_per_lang_docs(sf_dir: str):
     """Per-group top-k (`stages/aggregate.py::grouped_topk`): the 5
     largest docs per language by (n_chars DESC, doc_id ASC) with a
@@ -2691,6 +2749,15 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
 # redundant secondary variants live in EXTRA_QUERIES below (pytest-
 # covered, not driver-run).
 QUERIES = {
+    # --- round-4 new ---
+    "cdc_dedup_docs": q_cdc_dedup_docs,
+    # --- rotated back in from EXTRA (VERDICT r3 #4: every §2 operator
+    # gets a DIRECT driver row at least every other round; these four
+    # were driver-proven in r1/r2, then proxy-only in r3) ---
+    "interpolate_events": q_interpolate_events,
+    "topk_orders": q_topk_orders,
+    "union_events": q_union_events,
+    "filter_events": q_filter_events,
     # --- round-3 new / previously driver-unverified ---
     "bpe_merges_docs": q_bpe_merges_docs,
     "segment_dedup_docs": q_segment_dedup_docs,
@@ -2728,13 +2795,8 @@ QUERIES = {
     "route_events": q_route_events,
     "flagship_sink_counts": q_flagship_sink_counts,
     "enrich_docs": q_enrich_docs,
-    "langid_docs": q_langid_docs,
-    "fingerprint_docs": q_fingerprint_docs,
-    "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "unigram_lm_docs": q_unigram_lm_docs,
-    "lineitem_agg": q_lineitem_agg,
-    "hash_join": q_hash_join,
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
     "parquet_sink_counts": q_parquet_sink_counts,
     "json_sink_rows": q_json_sink_rows,
@@ -2773,6 +2835,14 @@ QUERIES = {
 # in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    # driver-proven THREE rounds running (r1-r3) — cede slots for the
+    # round-4 rotation (interpolate/topk_orders/union/filter back in,
+    # per VERDICT r3 #4) and the new cdc_dedup_docs; rotate back by r6
+    "langid_docs": q_langid_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "embedding_neardup": q_embedding_neardup,
+    "lineitem_agg": q_lineitem_agg,
+    "hash_join": q_hash_join,
     "bpe_vocab_docs": q_bpe_vocab_docs,
     "zscore_filter_docs": q_zscore_filter_docs,
     "spike_hours_events": q_spike_hours_events,
@@ -2780,7 +2850,6 @@ EXTRA_QUERIES = {
     "bpe_encode_docs": q_bpe_encode_docs,
     "topk_users_events": q_topk_users_events,
     "incremental_counts": q_incremental_counts,
-    "interpolate_events": q_interpolate_events,
     "json_sum_events": q_json_sum_events,
     "token_stats_docs": q_token_stats_docs,
     # quality_stats' integer components ⊂ repetition_stats' driver row
@@ -2790,10 +2859,8 @@ EXTRA_QUERIES = {
     "split_sample_docs": q_split_sample_docs,
     # F5 DropStage runs in-window inside asof_join_salted's left/right
     # construction; this standalone entry was driver-proven in r1/r2
-    "filter_events": q_filter_events,
     # O3 Dataset.union runs in-window inside the SIDE_COL co-group
     # pattern (asof_join_salted, range_join_events); driver-proven r1/r2
-    "union_events": q_union_events,
     # kmeans fit+assign ⊂ semdedup_embeddings (its oracle embeds the
     # full kmeans assignment CTE)
     "kmeans_embeddings": q_kmeans_embeddings,
@@ -2809,7 +2876,6 @@ EXTRA_QUERIES = {
     "grok_multifield_events": q_grok_multifield_events,
     "median_value_events": q_median_value_events,
     "dedup_exact_docs": q_dedup_exact_docs,
-    "topk_orders": q_topk_orders,
     "hourly_counts_events": q_hourly_counts_events,
     "hll_distinct_events": q_hll_distinct_events,
     "apache_log_parse": q_apache_log_parse,
@@ -2832,6 +2898,7 @@ ORACLE_SQL = {
     "bpe_encode_docs": SQL_BPE_ENCODE_DOCS,
     "topk_users_events": SQL_TOPK_USERS_EVENTS,
     "segment_dedup_docs": SQL_SEGMENT_DEDUP_DOCS,
+    "cdc_dedup_docs": SQL_CDC_DEDUP_DOCS,
     "topk_per_lang_docs": SQL_TOPK_PER_LANG_DOCS,
     "quality_threshold_docs": SQL_QUALITY_THRESHOLD_DOCS,
     "conv_rebuild": SQL_CONV_REBUILD,

@@ -272,7 +272,9 @@ def bpe_vocab(ds: Dataset, rounds: int = 3, top: int = 20,
 
 def bpe_token_counts(ds: Dataset, rounds: int = 3,
                      text_field: str = "text",
-                     id_field: str = "doc_id") -> Dataset:
+                     id_field: str = "doc_id",
+                     broadcast_limit_bytes: int = 128 << 20,
+                     word_shards: int = 64) -> Dataset:
     """ENCODE side of tokenizer training: exact per-document BPE token
     counts after applying the learned merges — one row per
     non-null-text doc, (id, n_tokens).
@@ -281,13 +283,23 @@ def bpe_token_counts(ds: Dataset, rounds: int = 3,
     project the post-merge table DOWN to (word, token-length)
     distributed — the word string is reconstructed as the
     concatenation of its symbols (merges only ever join adjacent
-    symbols), so training never carries it — then broadcast the map
-    ONCE and make a second streaming corpus pass where each batch
-    tokenizes via a vectorized polars join against the map (converted
-    from Arrow once per worker process, cached). Regime: the
-    distinct-word map must fit the object store (~10⁸ words × ~20 B is
-    GBs — fine); past that, attach lengths via the hash-partitioned
-    SIDE_COL co-group pattern instead of a broadcast.
+    symbols), so training never carries it. Then, SIZE-GATED like
+    ``ngram_jaccard_pairs_lsh``:
+
+    - map fits ``broadcast_limit_bytes`` (~10⁸ words × ~20 B is GBs —
+      usually fine): broadcast it ONCE (``ray.put``) and make one
+      streaming corpus pass where each batch tokenizes via a
+      vectorized polars join against the map (converted from Arrow
+      once per worker process, cached). Zero shuffles.
+    - past the budget: the hash-partitioned SIDE_COL co-group attach —
+      explode the corpus to per-batch (doc, word, n-occurrences)
+      partials, co-locate them with the (word, ntok) rows on
+      ``hash(word) % word_shards`` (ONE bounded shuffle, never a group
+      per word), attach lengths via vectorized ``index_in``/``take``,
+      pre-sum per doc inside the shard, and finish with a per-doc
+      grouped sum (``mode="shuffle"`` — per-doc cardinality is
+      unbounded, so the tree reduce's one-block finish would not fit).
+      Per-task state is one shard, never the word map.
 
     PRECONDITION: ``id_field`` is unique corpus-wide — a duplicate id
     spanning batches would receive per-batch partial counts where the
@@ -308,42 +320,138 @@ def bpe_token_counts(ds: Dataset, rounds: int = 3,
             "ntok": pc.cast(pc.list_value_length(sym), pa.int64()),
         })
 
-    wparts = list(words.map_batches(project, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow"))
-    wmap = pa.concat_tables(wparts) if wparts else \
-        pa.table({"word": pa.array([], pa.string()),
-                  "ntok": pa.array([], pa.int64())})
-    ref = ray.put(wmap)
+    # materialized: size_bytes() needs it, and the fallback's attach
+    # consumes it — either way the lineage (train rounds) must not
+    # re-execute. Holds (word, ntok) only, bounded by distinct words.
+    wmap_ds = words.map_batches(project,
+                                batch_format="pyarrow").materialize()
 
-    def count(batch: pa.Table) -> pa.Table:
+    if wmap_ds.size_bytes() <= broadcast_limit_bytes:
+        wparts = list(wmap_ds.iter_batches(batch_format="pyarrow"))
+        wmap = pa.concat_tables(wparts) if wparts else \
+            pa.table({"word": pa.array([], pa.string()),
+                      "ntok": pa.array([], pa.int64())})
+        ref = ray.put(wmap)
+
+        def count(batch: pa.Table) -> pa.Table:
+            df = pl.from_arrow(batch.select([id_field, text_field]))
+            df = df.with_columns(pl.col(text_field).cast(pl.Utf8)) \
+                .filter(pl.col(text_field).is_not_null())
+            if len(df) == 0:
+                return pa.table({
+                    id_field: pa.array([],
+                                       batch.schema.field(id_field).type),
+                    "n_tokens": pa.array([], pa.int64())})
+            wm = _WM_CACHE.get(ref.hex())
+            if wm is None:
+                # Arrow→polars conversion of the multi-GB map once per
+                # worker process, not once per batch
+                wm = pl.from_arrow(ray.get(ref))
+                _WM_CACHE.clear()
+                _WM_CACHE[ref.hex()] = wm
+            tok = (df.select([id_field,
+                              pl.col(text_field).str.split(" ")
+                              .alias("_w")])
+                   .explode("_w", empty_as_null=False)
+                   .filter(pl.col("_w") != ""))
+            per = (tok.join(wm, left_on="_w", right_on="word",
+                            how="inner")
+                   .group_by(id_field).agg(pl.col("ntok").sum()))
+            out = (df.select([id_field]).join(per, on=id_field,
+                                              how="left")
+                   .with_columns(pl.col("ntok").fill_null(0)
+                                 .cast(pl.Int64).alias("n_tokens"))
+                   .select([id_field, "n_tokens"]))
+            return out.to_arrow()
+
+        return ds.map_batches(count, batch_format="pyarrow")
+
+    # ---- distributed fallback: SIDE_COL co-group attach on the word
+    from ..functions.cogroup import SIDE_COL, pad_to_schema
+    from ..functions.hashing import stable_hash64
+    from .aggregate import grouped_sum
+
+    sch = ds.schema()  # ray.data Schema wrapper, not pyarrow
+    id_type = dict(zip(sch.names, sch.types))[id_field]
+    n_shards = max(1, int(word_shards))
+    union_types = {id_field: id_type, "_nw": pa.int64(),
+                   "_jk": pa.string(), "_ntok": pa.int64(),
+                   "_shard": pa.int32()}
+
+    def _shard_of(series: "pl.Series") -> pa.Array:
+        h = stable_hash64(series)
+        return pa.array((h % np.uint64(n_shards)).astype(np.int32))
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        """Side 0: per-batch (doc, word, n-occurrences) partials, plus
+        one zero-count row per non-null-text doc (word "" — excluded
+        from the map by construction, so its lookup misses and sums 0;
+        it only guarantees the doc a row in the final sum). The zero
+        rows shard by DOC hash — a lookup miss doesn't care which
+        shard it misses in, and sharding them all to hash("") would
+        concentrate one row per corpus doc on a single shard."""
         df = pl.from_arrow(batch.select([id_field, text_field]))
         df = df.with_columns(pl.col(text_field).cast(pl.Utf8)) \
             .filter(pl.col(text_field).is_not_null())
-        if len(df) == 0:
-            return pa.table({
-                id_field: pa.array([],
-                                   batch.schema.field(id_field).type),
-                "n_tokens": pa.array([], pa.int64())})
-        wm = _WM_CACHE.get(ref.hex())
-        if wm is None:
-            # Arrow→polars conversion of the multi-GB map once per
-            # worker process, not once per batch
-            wm = pl.from_arrow(ray.get(ref))
-            _WM_CACHE.clear()
-            _WM_CACHE[ref.hex()] = wm
-        tok = (df.select([id_field,
+        per = (df.select([id_field,
                           pl.col(text_field).str.split(" ").alias("_w")])
                .explode("_w", empty_as_null=False)
-               .filter(pl.col("_w") != ""))
-        per = (tok.join(wm, left_on="_w", right_on="word", how="inner")
-               .group_by(id_field).agg(pl.col("ntok").sum()))
-        out = (df.select([id_field]).join(per, on=id_field, how="left")
-               .with_columns(pl.col("ntok").fill_null(0)
-                             .cast(pl.Int64).alias("n_tokens"))
-               .select([id_field, "n_tokens"]))
-        return out.to_arrow()
+               .filter(pl.col("_w").is_not_null() & (pl.col("_w") != ""))
+               .group_by([id_field, "_w"]).len())
+        t = per.to_arrow()
+        z = df.select([id_field]).to_arrow()
+        cols = {
+            id_field: pa.concat_arrays(
+                [t[id_field].combine_chunks().cast(id_type),
+                 z[id_field].combine_chunks().cast(id_type)]),
+            "_nw": pa.concat_arrays(
+                [t["len"].combine_chunks().cast(pa.int64()),
+                 pa.array(np.zeros(z.num_rows, np.int64))]),
+            "_jk": pa.concat_arrays(
+                [t["_w"].combine_chunks().cast(pa.string()),
+                 pa.array([""] * z.num_rows, pa.string())]),
+            "_shard": pa.concat_arrays(
+                [_shard_of(per["_w"]),
+                 _shard_of(pl.from_arrow(z[id_field]).cast(pl.Utf8))]),
+        }
+        return pad_to_schema(cols, union_types, len(cols["_jk"]), 0)
 
-    return ds.map_batches(count, batch_format="pyarrow")
+    def pad_wmap(b: pa.Table) -> pa.Table:
+        cols = {"_jk": b["word"], "_ntok": b["ntok"],
+                "_shard": _shard_of(pl.from_arrow(
+                    b["word"].combine_chunks()))}
+        return pad_to_schema(cols, union_types, b.num_rows, 1)
+
+    both = ds.map_batches(doc_words, batch_format="pyarrow").union(
+        wmap_ds.map_batches(pad_wmap, batch_format="pyarrow"))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        from ..functions.arrow_utils import as_combined
+
+        side = g[SIDE_COL]
+        dt = g.filter(pc.equal(side, 0))
+        wt = g.filter(pc.equal(side, 1))
+        if dt.num_rows == 0:
+            return pa.table({id_field: pa.array([], id_type),
+                             "n_tokens": pa.array([], pa.int64())})
+        if wt.num_rows == 0:
+            ntok = pa.nulls(dt.num_rows, pa.int64())
+        else:
+            idx = pc.index_in(as_combined(dt["_jk"]),
+                              value_set=as_combined(wt["_jk"]))
+            ntok = pc.take(as_combined(wt["_ntok"]), idx)
+        part = pc.multiply_checked(
+            as_combined(dt["_nw"]),
+            pc.fill_null(ntok, pa.scalar(0, pa.int64())))
+        shard_part = pa.table({id_field: dt[id_field], "n_tokens": part}) \
+            .group_by([id_field]).aggregate([("n_tokens", "sum")])
+        return shard_part.select([id_field, "n_tokens_sum"]) \
+            .rename_columns([id_field, "n_tokens"])
+
+    attached = both.groupby("_shard").map_groups(per_shard,
+                                                 batch_format="pyarrow")
+    return grouped_sum(attached, [id_field], "n_tokens",
+                       alias="n_tokens", mode="shuffle")
 
 
 # per-worker-process cache of the encode broadcast map (cleared when a

@@ -100,6 +100,76 @@ def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
     return explode
 
 
+def cdc_chunk_fn(*, avg_size: int = 20, text_field: str = "text",
+                 id_field: str = "doc_id", token_hash: str = "polars"):
+    """Content-defined chunking (CDC) explode: a chunk ends AFTER any
+    word whose 64-bit hash ≡ 0 (mod ``avg_size``) — expected chunk
+    length ``avg_size`` words, boundaries determined by LOCAL content
+    only (the Rabin/anchor technique from dedup storage systems).
+
+    Why it exists: fixed-grid windows are alignment-blind — insert one
+    word at the front of a duplicated document and every k-word window
+    shifts, so no window text repeats. CDC boundaries re-synchronize
+    one anchor after any insertion/deletion, so all later chunks of a
+    shifted duplicate hash identically again.
+
+    ``token_hash="polars"`` is the production mode (vectorized);
+    ``"md5"`` anchors on DuckDB's ``md5_number_lower`` so a SQL oracle
+    can recompute identical boundaries (md5 runs per UNIQUE word —
+    oracle-parity mode, same trade as ``dedup._tokenize_hashes_md5``).
+    Output schema matches ``chunk_batch_fn``: (id, chunk_idx, n_words,
+    chunk_text); null text emits nothing; pure per-batch flat-map, no
+    shuffle, no state."""
+    if avg_size <= 0:
+        raise ValueError("avg_size must be positive")
+    if token_hash not in ("polars", "md5"):
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash64
+
+        df = pl.from_arrow(batch.select([id_field, text_field]))
+        df = df.with_columns(pl.col(text_field).cast(pl.Utf8))
+        df = df.filter(pl.col(text_field).is_not_null())
+        if len(df) == 0:
+            return pa.table({id_field: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_words": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        tok = (df.with_row_index("_r")
+               .select(["_r", id_field,
+                        pl.col(text_field).str.split(" ").alias("_w")])
+               .explode("_w", empty_as_null=False))
+        if token_hash == "polars":
+            h = stable_hash64(tok["_w"])
+        else:
+            import hashlib
+
+            w = tok["_w"].to_numpy()
+            uniq, inv = np.unique(w, return_inverse=True)
+            uh = np.array(
+                [int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[8:16],
+                    "little") for t in uniq],
+                dtype=np.uint64)
+            h = uh[inv]
+        anchor = ((h % np.uint64(avg_size)) == 0).astype(np.int64)
+        # a word belongs to chunk = #anchors strictly BEFORE it in the
+        # doc (the anchor word ends its own chunk): cum_sum minus self
+        tok = tok.with_columns(pl.Series("_a", anchor)) \
+            .with_columns((pl.col("_a").cum_sum().over("_r")
+                           - pl.col("_a")).cast(pl.Int64)
+                          .alias("chunk_idx"))
+        seg = (tok.group_by(["_r", "chunk_idx"], maintain_order=True)
+               .agg(pl.col(id_field).first(),
+                    pl.len().cast(pl.Int64).alias("n_words"),
+                    pl.col("_w").str.join(" ").alias("chunk_text")))
+        return seg.select([id_field, "chunk_idx", "n_words",
+                           "chunk_text"]).to_arrow()
+
+    return explode
+
+
 def chunk_documents(ds: Dataset, *, size: int = CHUNK_SIZE,
                     stride: int = CHUNK_STRIDE, text_field: str = "text",
                     id_field: str = "doc_id") -> Dataset:

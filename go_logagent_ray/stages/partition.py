@@ -29,13 +29,37 @@ from ..functions.arrow_utils import as_combined, set_column
 from ..functions.hashing import stable_hash64
 
 
-def hot_keys(ds: Dataset, key: str, threshold: int) -> set:
+def hot_keys(ds: Dataset, key: str, threshold: int,
+             max_hot: int = 4096) -> set:
     """Keys whose row count exceeds ``threshold`` (exact, via the
-    tree-reduced counts — one pass, partials only)."""
+    tree-reduced counts — one pass, partials only).
+
+    The threshold filter runs PER BLOCK over the count table, so the
+    driver only ever receives rows that are already above the
+    threshold — never the full per-key count table (one row per key:
+    unbounded cardinality at 10^12 turns).  An absolute threshold still
+    admits unboundedly many hot keys as the table grows, so the result
+    is guarded by ``max_hot``: crossing it raises loudly with the fix
+    (use ``hot_topk``, the scale-independent census that
+    ``add_salted_partition`` defaults to)."""
+    import pyarrow.compute as pc
+
     from .aggregate import counts_by
 
     counts = counts_by(ds, [key], alias="n")
-    return {r[key] for r in counts.take_all() if r["n"] > threshold}
+
+    def block_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], threshold))
+
+    rows = counts.map_batches(block_hot, batch_format="pyarrow").take_all()
+    if len(rows) > max_hot:
+        raise ValueError(
+            f"hot_keys: {len(rows)} keys exceed threshold={threshold} "
+            f"(> max_hot={max_hot}). An absolute threshold admits "
+            "unboundedly many hot keys as the table grows — use "
+            "hot_topk(ds, key, k) for a scale-independent census, or "
+            "raise max_hot deliberately.")
+    return {r[key] for r in rows}
 
 
 def hot_topk(ds: Dataset, key: str, k: int = 8) -> set:
@@ -103,11 +127,27 @@ class SaltedPartitioner:
 def add_salted_partition(ds: Dataset, key: str, num_partitions: int,
                          hot_threshold: int | None = None,
                          salt_factor: int = 8,
-                         salt_col: str = "turn_idx") -> Dataset:
-    """One extra pass when ``hot_threshold`` is set (exact hot-key census);
-    then a vectorized partition-id stage. The hot set is broadcast in the
-    stage closure (tiny)."""
-    hot = hot_keys(ds, key, hot_threshold) if hot_threshold is not None else set()
+                         salt_col: str = "turn_idx",
+                         hot_k: int | None = 8,
+                         hot: set | None = None) -> Dataset:
+    """One extra census pass, then a vectorized partition-id stage.
+    The hot set is broadcast in the stage closure (tiny).
+
+    DEFAULT census is ``hot_topk(k=hot_k)`` — the k heaviest keys, a
+    bounded, scale-independent set (the production shape; see
+    ``hot_topk``). ``hot_threshold`` switches to the absolute-count
+    census (bounded by ``hot_keys``'s ``max_hot`` guard) for callers
+    that genuinely mean "every key above N rows"; ``hot`` supplies a
+    precomputed set and skips the census pass. ``hot_k=None`` with no
+    threshold/set disables salting entirely."""
+    if hot is not None:
+        pass
+    elif hot_threshold is not None:
+        hot = hot_keys(ds, key, hot_threshold)
+    elif hot_k is not None:
+        hot = hot_topk(ds, key, k=hot_k)
+    else:
+        hot = set()
     return ds.map_batches(
         SaltedPartitioner(key, num_partitions, hot=hot,
                           salt_factor=salt_factor, salt_col=salt_col),

@@ -9,6 +9,22 @@ suffix-array substrings, which keeps the operator a pure two-pass
 streaming shape). Not in the reference (tuhuayuan/go-logagent has no
 corpus-level text ops); first-class per the training-data mandate.
 
+ALIGNMENT BLINDSPOT of ``mode="aligned"`` (the fixed grid): a shifted
+duplicate escapes detection entirely — insert ONE word at the front of
+a copied document and every k-word window of the copy starts one word
+later, so no window text repeats and nothing dedups. That is
+out-of-contract for the aligned mode by definition (it dedups repeated
+ALIGNED windows, exactly what its SQL oracle states), and
+``tests/test_segdedup.py`` pins the blindspot with a planted
+one-word-prefix duplicate. ``mode="cdc"`` closes it: chunk boundaries
+are CONTENT-DEFINED (a chunk ends after any word whose hash ≡ 0 mod
+avg_size — ``stages/chunk.py::cdc_chunk_fn``), so boundaries
+re-synchronize one anchor after any insertion/deletion and all later
+chunks of a shifted duplicate dedup again. Same two-pass shape, same
+keeper/broadcast/scrub machinery, same oracle checkability (md5 anchor
+mode). Remaining gap vs suffix arrays in BOTH modes: sub-chunk repeats
+(shorter than one window/chunk) are not deduplicated.
+
 Scale shape (mirrors ``dedup.exact_dedup_broadcast``):
 
 - pass 1: explode each batch into segments IN PLACE, reduce to
@@ -90,13 +106,27 @@ def _packed_segments(batch: pa.Table, explode, id_field: str):
     return segs, stable_hash64_i64(segs["chunk_text"]), pk
 
 
+def _make_explode(mode: str, size: int, text_field: str, id_field: str,
+                  token_hash: str):
+    if mode == "aligned":
+        return chunk_batch_fn(size=size, stride=size,
+                              text_field=text_field, id_field=id_field)
+    if mode == "cdc":
+        from .chunk import cdc_chunk_fn
+
+        return cdc_chunk_fn(avg_size=size, text_field=text_field,
+                            id_field=id_field, token_hash=token_hash)
+    raise ValueError(f"unknown segment_dedup mode {mode!r}")
+
+
 def segment_keepers(ds: Dataset, *, size: int = SEG_SIZE,
                     text_field: str = "text",
-                    id_field: str = "doc_id") -> Dataset:
+                    id_field: str = "doc_id",
+                    mode: str = "aligned",
+                    token_hash: str = "polars") -> Dataset:
     """(_fp, _pk): per distinct segment text, the packed position of its
     first occurrence. Only these 16-byte pairs shuffle."""
-    explode = chunk_batch_fn(size=size, stride=size, text_field=text_field,
-                             id_field=id_field)
+    explode = _make_explode(mode, size, text_field, id_field, token_hash)
 
     def partial(batch: pa.Table) -> pa.Table:
         segs, fp, pk = _packed_segments(batch, explode, id_field)
@@ -113,18 +143,27 @@ def segment_keepers(ds: Dataset, *, size: int = SEG_SIZE,
 
 def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
                   text_field: str = "text",
-                  id_field: str = "doc_id") -> Dataset:
+                  id_field: str = "doc_id",
+                  mode: str = "aligned",
+                  token_hash: str = "polars") -> Dataset:
     """One row per non-null-text document: (id, text rebuilt from
     surviving segments joined by ' ', n_segs, n_kept). A segment
     occurrence survives iff it IS the corpus-wide first occurrence of
     its exact text (so every distinct segment text appears exactly once
-    across the whole output corpus)."""
+    across the whole output corpus).
+
+    ``mode="aligned"`` segments on the fixed k-word grid (alignment
+    blindspot — see module docstring); ``mode="cdc"`` uses
+    content-defined boundaries (shift-robust; ``size`` becomes the
+    EXPECTED chunk length). ``token_hash`` selects the CDC anchor hash
+    ("polars" production / "md5" oracle-parity)."""
     import ray
 
     fp_parts: list[np.ndarray] = []
     pk_parts: list[np.ndarray] = []
     for b in segment_keepers(ds, size=size, text_field=text_field,
-                             id_field=id_field) \
+                             id_field=id_field, mode=mode,
+                             token_hash=token_hash) \
             .iter_batches(batch_format="pyarrow"):
         fp_parts.append(b.column("_fp").to_numpy(zero_copy_only=False))
         pk_parts.append(b.column("_pk").to_numpy(zero_copy_only=False))
@@ -133,8 +172,7 @@ def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
     order = np.argsort(fp_all, kind="stable")
     ref = ray.put((fp_all[order], pk_all[order]))
 
-    explode = chunk_batch_fn(size=size, stride=size, text_field=text_field,
-                             id_field=id_field)
+    explode = _make_explode(mode, size, text_field, id_field, token_hash)
 
     def scrub(batch: pa.Table) -> pa.Table:
         fp_sorted, pk_sorted = ray.get(ref)

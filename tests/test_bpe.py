@@ -165,3 +165,26 @@ def test_bpe_token_counts_match_reference(ray_session):
     exp = {i: sum(encode(w) for w in tx.split(" ") if w)
            for i, tx in enumerate(texts) if tx is not None}
     assert dict(zip(got.doc_id, got.n_tokens)) == exp
+
+
+def test_bpe_token_counts_distributed_fallback(ray_session):
+    """Force the broadcast budget to 0 so the SIDE_COL co-group attach
+    path runs (the 100 TB regime where the word map exceeds the object
+    store broadcast budget) — must agree exactly with the broadcast
+    path / pure-Python reference, including the n_tokens=0 rows for
+    empty-text docs."""
+    from go_logagent_ray.stages.bpe import bpe_token_counts
+
+    rng = np.random.default_rng(11)
+    vocab = ["aaaa", "abab", "xy", "xyxy", "aab", "ba", "q"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 8)))
+             for _ in range(120)] + [None, "", "   "]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    bcast = bpe_token_counts(ds, rounds=3).to_pandas()
+    dist = bpe_token_counts(ds, rounds=3, broadcast_limit_bytes=0,
+                            word_shards=7).to_pandas()
+    assert dict(zip(dist.doc_id, dist.n_tokens)) == \
+        dict(zip(bcast.doc_id, bcast.n_tokens))
+    assert len(dist) == len(bcast)

@@ -312,3 +312,118 @@ def test_grouped_zscore_filter_per_group_fallback_and_wrap_guard(ray_session):
     with pytest.raises(Exception, match="overflowed int64"):
         grouped_zscore_filter(ray.data.from_arrow(bad), "g", "x",
                               z=2).to_pandas()
+
+
+# ------------------------------------------------- CDC mode (round 4)
+
+def _cdc_ref(rows, avg, token_hash="polars"):
+    """Pure-python reference for segment_dedup(mode='cdc'): anchors via
+    the SAME hash the pipeline uses, keeper = min (doc_id, chunk_idx)."""
+    import hashlib
+
+    from go_logagent_ray.functions.hashing import stable_hash64
+
+    def h(word):
+        if token_hash == "polars":
+            return int(stable_hash64([word])[0])
+        return int.from_bytes(
+            hashlib.md5(word.encode()).digest()[8:16], "little")
+
+    chunks = {}  # doc_id -> [chunk_text]
+    for did, text in rows:
+        if text is None:
+            continue
+        out, cur = [], []
+        for w in text.split(" "):
+            cur.append(w)
+            if h(w) % avg == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        chunks[did] = out
+    first = {}
+    for did in sorted(chunks):
+        for ci, ct in enumerate(chunks[did]):
+            first.setdefault(ct, (did, ci))
+    exp = {}
+    for did, cl in chunks.items():
+        kept = [ct for ci, ct in enumerate(cl)
+                if first[ct] == (did, ci)]
+        exp[did] = (" ".join(kept), len(cl), len(kept))
+    return exp
+
+
+def test_cdc_dedup_matches_python_reference(ray_session):
+    from go_logagent_ray.stages.segdedup import segment_dedup
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 60))))
+            for i in range(80)]
+    rows += [(80, rows[3][1]), (81, None), (82, "")]
+    out = segment_dedup(_docs(rows), size=5, mode="cdc").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = _cdc_ref(rows, 5)
+    got = {int(r.doc_id): (r.text, int(r.n_segs), int(r.n_kept))
+           for r in out.itertuples()}
+    assert got == exp
+
+
+def test_aligned_blindspot_and_cdc_closes_it(ray_session):
+    """THE alignment blindspot, pinned: a one-word-prefix duplicate is
+    OUT OF CONTRACT for mode='aligned' (no aligned window repeats — the
+    copy dedups nothing), and mode='cdc' catches it (boundaries resync
+    at the first anchor, every later chunk dedups)."""
+    from go_logagent_ray.stages.segdedup import segment_dedup
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(50)]
+    base = " ".join(rng.choice(vocab, size=400))
+    rows = [(0, base), (1, "INSERTED " + base)]
+
+    aligned = segment_dedup(_docs(rows), size=20).to_pandas() \
+        .sort_values("doc_id")
+    # blindspot: every window of doc1 is shifted by one word, so doc1
+    # keeps ALL its segments — explicitly asserted out-of-contract
+    assert int(aligned.n_kept.iloc[1]) == int(aligned.n_segs.iloc[1])
+
+    cdc = segment_dedup(_docs(rows), size=20, mode="cdc").to_pandas() \
+        .sort_values("doc_id")
+    exp = _cdc_ref(rows, 20)
+    got = {int(r.doc_id): (r.text, int(r.n_segs), int(r.n_kept))
+           for r in cdc.itertuples()}
+    assert got == exp
+    # boundaries resync after the first anchor: doc1 keeps ONLY its
+    # first chunk (the one holding the inserted word) — every later
+    # chunk realigns with a doc0 chunk and dedups. (doc0 may lose a
+    # couple of chunks to WITHIN-doc repeats of the random text — the
+    # reference comparison above already pins that exactly.)
+    assert int(cdc.n_kept.iloc[1]) == 1
+    assert int(cdc.n_segs.iloc[1]) > 5
+
+
+def test_cdc_md5_mode_matches_duckdb_oracle(ray_session):
+    from go_logagent_ray.pipelines.queries import SQL_CDC_DEDUP_DOCS
+    from go_logagent_ray.stages.segdedup import segment_dedup
+
+    rng = np.random.default_rng(29)
+    vocab = [f"m{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 50))))
+            for i in range(60)]
+    rows += [(60, rows[5][1]), (61, "XX " + rows[5][1]), (62, None)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    got = segment_dedup(ray.data.from_arrow(t).repartition(3), size=20,
+                        mode="cdc", token_hash="md5").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.sql(SQL_CDC_DEDUP_DOCS).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.text.tolist() == exp.text.tolist()
+    assert got.n_segs.tolist() == exp.n_segs.tolist()
+    assert got.n_kept.tolist() == exp.n_kept.tolist()
