@@ -110,10 +110,16 @@ def _pii(conf: dict):
     field = conf.get("field", "text")
 
     def scrub(batch):
+        from .functions.arrow_utils import set_column
+
         red, counts = scrub_text(batch[field])
-        out = batch.set_column(batch.column_names.index(field), field, red)
+        out = set_column(batch, field, red)
+        # replace-or-append: if the stage runs twice in a chain (or the
+        # input already carries a count column) the second run must
+        # overwrite, not duplicate the column name and break by-name
+        # selects downstream
         for cnt, arr in counts.items():
-            out = out.append_column(cnt, arr)
+            out = set_column(out, cnt, arr)
         return out
 
     return scrub, {}

@@ -180,6 +180,24 @@ def lang_id(batch: pa.Table, field: str = "text", out: str = "pred_lang") -> pa.
     return set_column(batch, out, pa.array(pred, type=pa.string()))
 
 
+def raw_fingerprint(batch: pa.Table, field: str = "text",
+                    out: str = "fp64") -> pa.Table:
+    """64-bit hash of the RAW (un-normalized) text — the identity the
+    exact-dedup family keys on. Exact dedup means exact TEXT equality
+    (its SQL oracles GROUP BY raw text, and segment dedup hashes raw
+    chunk text); two docs differing only in case/punctuation are
+    DISTINCT here but merge under ``fingerprint``'s normalized hash —
+    the deliberate semantic split between the two operators (round-3
+    advice: the dedup stages previously hashed normalized text while
+    their oracles grouped raw, a latent mismatch the testdata never
+    exposed)."""
+    from .hashing import stable_hash64_i64
+
+    return set_column(batch, out,
+                      pa.array(stable_hash64_i64(as_combined(batch[field])),
+                               pa.int64()))
+
+
 def fingerprint(batch: pa.Table, field: str = "text", out: str = "fp64") -> pa.Table:
     """Deterministic 64-bit content fingerprint of normalized text.
 

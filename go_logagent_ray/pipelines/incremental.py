@@ -193,12 +193,12 @@ class StreamingDedup:
     def process_chunk_dataset(self, ds) -> list[int]:
         """Returns the doc ids ACCEPTED from this chunk (first holders
         of content never seen before), ascending."""
-        from ..functions.textstats import fingerprint
+        from ..functions.textstats import raw_fingerprint
 
         text_field, id_field = self.text_field, self.id_field
 
         def partial(batch: pa.Table) -> pa.Table:
-            b = fingerprint(batch, field=text_field, out="_fp")
+            b = raw_fingerprint(batch, field=text_field, out="_fp")
             p = (b.select(["_fp", id_field]).group_by(["_fp"])
                  .aggregate([(id_field, "min")]))
             return p.select(["_fp", id_field + "_min"]) \

@@ -1943,11 +1943,16 @@ def q_doc_freq_terms(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["text"]))
+        # null text must emit ZERO term rows (the oracle's
+        # unnest(string_split(NULL)) is zero rows; an unfiltered
+        # explode would emit one null 'term' row that group_by counts)
+        df = pl.from_arrow(batch.select(["text"])) \
+            .filter(pl.col("text").is_not_null())
         out = (df.with_columns(
                    pl.col("text").str.split(" ").list.unique().alias("_t"))
                .select(pl.col("_t"))
                .explode("_t")
+               .filter(pl.col("_t").is_not_null())
                .group_by("_t").len())
         return pa.table({
             "term": out["_t"].to_arrow().cast(pa.string()),
@@ -2155,11 +2160,15 @@ def q_inverted_index_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def term_rows(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch.select(["doc_id", "text"]))
+        # null text → zero postings (same null-explode trap as
+        # doc_freq: the oracle's unnest of a NULL split is zero rows)
+        df = pl.from_arrow(batch.select(["doc_id", "text"])) \
+            .filter(pl.col("text").is_not_null())
         out = (df.with_columns(
                    pl.col("text").str.split(" ").list.unique().alias("_t"))
                .select(["doc_id", "_t"])
-               .explode("_t"))
+               .explode("_t")
+               .filter(pl.col("_t").is_not_null()))
         return pa.table({
             "term": out["_t"].to_arrow().cast(pa.string()),
             "doc_id": out["doc_id"].to_arrow().cast(pa.int64()),
@@ -2209,6 +2218,10 @@ def q_bloom_join(sf_dir: str):
     orders = orders.map_batches(
         lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")),
         batch_format="pyarrow", zero_copy_batch=True)
+    # materialized: build_bloom's full pass AND the join's build side
+    # both consume this lineage — without the barrier the parquet read
+    # + status filter execute twice (the repo's multi-consumer rule)
+    orders = orders.materialize()
     lines = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     bloom = build_bloom(orders, "o_orderkey")
     ref = _ray.put(bloom)

@@ -24,7 +24,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 from ..functions.arrow_utils import as_combined, set_column
-from ..functions.textstats import fingerprint
+from ..functions.textstats import raw_fingerprint
 
 # ---------------------------------------------------------------- exact
 
@@ -37,7 +37,7 @@ def exact_keepers(ds: Dataset, text_field: str = "text",
     groupby over partials. Only (hash, id) pairs ever shuffle.
     """
     def partial(batch: pa.Table) -> pa.Table:
-        b = fingerprint(batch, field=text_field, out="_fp")
+        b = raw_fingerprint(batch, field=text_field, out="_fp")
         part = (
             b.select(["_fp", id_field])
             .group_by(["_fp"])
@@ -57,7 +57,7 @@ def exact_dedup(ds: Dataset, text_field: str = "text",
                 id_field: str = "doc_id") -> Dataset:
     """Keep exactly one full row (min id) per distinct text."""
     def add_fp(batch: pa.Table) -> pa.Table:
-        return fingerprint(batch, field=text_field, out="_fp")
+        return raw_fingerprint(batch, field=text_field, out="_fp")
 
     def take_min(group: pd.DataFrame) -> pd.DataFrame:
         return group.nsmallest(1, id_field)
@@ -105,7 +105,7 @@ def exact_dedup_broadcast(ds: Dataset, text_field: str = "text",
 def distinct_count(ds: Dataset, text_field: str = "text") -> int:
     """COUNT(DISTINCT text) via hash partials — no full-text shuffle."""
     def partial(batch: pa.Table) -> pa.Table:
-        b = fingerprint(batch, field=text_field, out="_fp")
+        b = raw_fingerprint(batch, field=text_field, out="_fp")
         return b.select(["_fp"]).group_by(["_fp"]).aggregate([])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")

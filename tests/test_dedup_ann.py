@@ -552,3 +552,27 @@ def test_triu_blocks_cover_exact_triangle():
             got = sorted(zip(ii.tolist(), jj.tolist()))
             want = sorted(zip(ei.tolist(), ej.tolist()))
             assert got == want, (n, budget)
+
+
+def test_exact_dedup_is_raw_text_identity(ray_session):
+    """Round-3 advice: exact dedup keys on RAW text (as its SQL oracles
+    GROUP BY text) — docs differing only in case/punctuation stay
+    distinct here but merge under the normalized `fingerprint` op."""
+    import ray.data as rd
+
+    from go_logagent_ray.functions.textstats import fingerprint
+    from go_logagent_ray.stages.dedup import (distinct_count,
+                                              exact_dedup_broadcast)
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["Hello, world", "hello world",
+                          "Hello, world", "other"]),
+    })
+    ds = rd.from_arrow(t)
+    kept = sorted(r["doc_id"]
+                  for r in exact_dedup_broadcast(ds).take_all())
+    assert kept == [0, 1, 3]          # raw identity: case variant kept
+    assert distinct_count(ds) == 3
+    fp = fingerprint(t)["fp64"].to_pylist()
+    assert fp[0] == fp[1] == fp[2]    # normalized op still merges them

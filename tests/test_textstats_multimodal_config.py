@@ -322,3 +322,57 @@ def test_config_repetition_stage(ray_session):
     df = out.transform(out.read()).to_pandas()
     assert df.doc_id.tolist() == [2]
     assert "dup_bigrams" in df.columns
+
+
+def test_doc_freq_and_inverted_index_null_text_matches_oracle(ray_session):
+    """Round-3 advice: a null-text document must emit ZERO term rows
+    (the oracle's unnest(string_split(NULL,' ')) is zero rows), not a
+    single null term that polars group_by would count."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from go_logagent_ray.pipelines.queries import (SQL_DOC_FREQ_TERMS,
+                                                   SQL_INVERTED_INDEX_DOCS,
+                                                   q_doc_freq_terms,
+                                                   q_inverted_index_docs)
+
+    d = tempfile.mkdtemp(prefix="glr_nulldoc_")
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a", None, "b c", None]),
+    })
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", t)
+
+    got = q_doc_freq_terms(d).to_pandas().sort_values(
+        ["df", "term"], ascending=[False, True]).reset_index(drop=True)
+    exp = con.sql(SQL_DOC_FREQ_TERMS).df().sort_values(
+        ["df", "term"], ascending=[False, True]).reset_index(drop=True)
+    assert got.term.tolist() == exp.term.tolist()
+    assert got.df.tolist() == exp.df.tolist()
+
+    got = q_inverted_index_docs(d).to_pandas().sort_values(
+        ["term", "shard"]).reset_index(drop=True)
+    exp = con.sql(SQL_INVERTED_INDEX_DOCS).df().sort_values(
+        ["term", "shard"]).reset_index(drop=True)
+    assert got.term.tolist() == exp.term.tolist()
+    assert got.postings.tolist() == exp.postings.tolist()
+
+
+def test_config_pii_stage_idempotent_columns(ray_session):
+    """Round-3 advice: running the pii stage twice in a chain must
+    overwrite its count columns, not append duplicates that break
+    by-name selects."""
+    from go_logagent_ray.config import STAGE_REGISTRY
+
+    fn, _ = STAGE_REGISTRY["pii"]({"field": "text"})
+    t = pa.table({"text": pa.array(["mail me: bob@example.com", "none"])})
+    once = fn(t)
+    twice = fn(once)
+    assert twice.column_names.count("n_email") == 1
+    assert twice.column_names == once.column_names
+    assert twice["n_email"].to_pylist() == [0, 0]  # already scrubbed
