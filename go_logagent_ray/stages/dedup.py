@@ -874,23 +874,29 @@ def ngram_jaccard_pairs_lsh(
     grams = ds.map_batches(gram_rows, batch_format="pyarrow",
                            zero_copy_batch=True).materialize()
 
-    def _verify_cols(a, b, ga, gb):
+    def _verify_df(df) -> pa.Table:
         """Shared exact-verify kernel: integer-math Jaccard over two
-        gram-list columns; returns the filtered output table."""
-        oa, ob, ni, nu = [], [], [], []
-        for x, y, sa, sb in zip(a, b, ga, gb):
-            sa = set(sa or ())
-            sb = set(sb or ())
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            if union > 0 and inter * 1000 >= threshold_permille * union:
-                oa.append(x); ob.append(y); ni.append(inter); nu.append(union)
-        return pa.table({
-            "doc_a": pa.array(oa, type=pa.int64()),
-            "doc_b": pa.array(ob, type=pa.int64()),
-            "n_inter": pa.array(ni, type=pa.int64()),
-            "n_union": pa.array(nu, type=pa.int64()),
-        })
+        gram-LIST columns, fully vectorized (polars list set ops — the
+        round-3 per-pair Python set loop cost a measurable constant on
+        dup-heavy corpora). Gram lists are sorted-unique by
+        construction, so list lengths ARE set cardinalities; a null
+        list (possible only for a shard with no gram rows) counts as
+        empty, matching the old ``set(x or ())`` semantics."""
+        import polars as pl
+
+        empty = pl.lit([], dtype=pl.List(pl.String))
+        df = df.with_columns(pl.col("_ga").fill_null(empty),
+                             pl.col("_gb").fill_null(empty))
+        df = df.with_columns(
+            pl.col("_ga").list.set_intersection(pl.col("_gb"))
+            .list.len().cast(pl.Int64).alias("n_inter"),
+            pl.col("_ga").list.set_union(pl.col("_gb"))
+            .list.len().cast(pl.Int64).alias("n_union"))
+        out = (df.filter((pl.col("n_union") > 0)
+                         & (pl.col("n_inter") * 1000
+                            >= threshold_permille * pl.col("n_union")))
+               .select(["doc_a", "doc_b", "n_inter", "n_union"]))
+        return out.to_arrow().cast(_out_schema)
 
     # Small-candidate regime (size-gated, same broadcast contract as
     # exact_dedup_broadcast / embedding_neardup_pairs): when the whole
@@ -902,15 +908,18 @@ def ngram_jaccard_pairs_lsh(
     if grams.size_bytes() <= broadcast_limit_bytes:
         gt = pa.concat_tables(grams.iter_batches(batch_format="pyarrow"),
                               promote_options="default")
-        gram_map = dict(zip(gt["_jk"].to_pylist(), gt["_grams"].to_pylist()))
-        gref = ray.put(gram_map)
+        gref = ray.put(gt)  # Arrow table, shipped once — never a dict
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
-            gm = ray.get(gref)
-            a = as_combined(batch["doc_a"]).to_pylist()
-            b = as_combined(batch["doc_b"]).to_pylist()
-            return _verify_cols(a, b, (gm.get(x) for x in a),
-                                (gm.get(y) for y in b))
+            import polars as pl
+
+            gm = pl.from_arrow(ray.get(gref))
+            df = (pl.from_arrow(batch.select(["doc_a", "doc_b"]))
+                  .join(gm.rename({"_jk": "doc_a", "_grams": "_ga"}),
+                        on="doc_a", how="left")
+                  .join(gm.rename({"_jk": "doc_b", "_grams": "_gb"}),
+                        on="doc_b", how="left"))
+            return _verify_df(df)
 
         return cands.map_batches(verify_bcast, batch_format="pyarrow")
 
@@ -968,10 +977,10 @@ def ngram_jaccard_pairs_lsh(
                       "_ga": _GRAMS_TYPE})
 
     def verify(batch: pa.Table) -> pa.Table:
-        return _verify_cols(as_combined(batch["doc_a"]).to_pylist(),
-                            as_combined(batch["doc_b"]).to_pylist(),
-                            as_combined(batch["_ga"]).to_pylist(),
-                            as_combined(batch["_gb"]).to_pylist())
+        import polars as pl
+
+        return _verify_df(pl.from_arrow(
+            batch.select(["doc_a", "doc_b", "_ga", "_gb"])))
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
