@@ -1,0 +1,163 @@
+"""End-to-end curation pipeline (raw corpus → per-doc training-chunk
+stats) with an OPTIONAL partitioned-parquet checkpoint at the
+stage-2 boundary — the 100 TB shape the in-memory variant's docstring
+promises.
+
+Stages (each independently oracle-verified; composition hash-verified
+by the ``curate_docs`` driver query):
+
+1. repetition-quality gate (per-row, no shuffle);
+2. exact dedup via broadcast keepers (only (hash, id) partials
+   shuffle);
+3. benchmark decontamination (grams broadcast once, vectorized
+   match_substring);
+4. chunking to 32-word windows at stride 24;
+5. per-doc chunk stats (partial + combine grouped sums).
+
+The post-dedup survivor set is consumed by MULTIPLE downstream
+consumers (the benchmark-gram build AND the clean→chunk→aggregate
+lineage), so it must not re-execute per consumer:
+
+- ``checkpoint_dir=None``: object-store ``materialize()`` — fine while
+  the survivor set fits cluster memory + spill.
+- ``checkpoint_dir=...``: the survivor set is written ONCE as a
+  multi-file parquet directory (one file per block — readers get one
+  read task per file), committed atomically (tmp dir + rename, then a
+  manifest carrying config hash + row count, same tmp+rename protocol
+  as ``state/checkpoint.py``). A later run with the same config SKIPS
+  stages 1-2 entirely — the test kills the run right after the commit,
+  deletes the raw input, and the resume still produces the identical
+  final table from the checkpoint alone.
+
+Scale note: the checkpoint unit here is the whole stage boundary (one
+atomic commit). Within stages 1-2 the input itself can additionally be
+processed wave-per-partition via ``state/checkpoint.run_checkpointed``
+for per-partition resume of the PARSE work; the boundary checkpoint is
+what makes the multi-consumer fan-out resumable and spill-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+from ..state.checkpoint import _atomic_write_json, config_hash
+
+_SPEC = {
+    "stage": "curate-quality-dedup",
+    "min_toks": 20,
+    "dup_bigram_permille": 80,
+    "version": 1,
+}
+
+
+def quality_gate(batch: pa.Table) -> pa.Table:
+    """Stage 1: keep docs with ≥ 20 tokens and ≤ 8% duplicate bigrams
+    (Gopher-style repetition filter, integer math)."""
+    from ..functions.textstats import repetition_stats
+
+    b = repetition_stats(batch)
+    keep = pc.and_(
+        pc.greater_equal(b["n_toks"], pa.scalar(20)),
+        pc.less_equal(pc.multiply(b["dup_bigrams"], pa.scalar(1000)),
+                      pc.multiply(b["n_bigrams"], pa.scalar(80))))
+    return batch.filter(keep)
+
+
+def _stage2_checkpoint_valid(checkpoint_dir: str, cfg: str) -> bool:
+    import json
+
+    mpath = os.path.join(checkpoint_dir, "_stage2_manifest.json")
+    if not os.path.isfile(mpath):
+        return False
+    with open(mpath) as f:
+        m = json.load(f)
+    return m.get("config_hash") == cfg and \
+        os.path.isdir(os.path.join(checkpoint_dir, "stage2"))
+
+
+def stage2_survivors(sf_dir: str, *,
+                     checkpoint_dir: str | None = None) -> Dataset:
+    """Quality-gated, exactly-deduplicated docs (doc_id, text) — the
+    multi-consumer stage boundary. With ``checkpoint_dir``, committed
+    to partitioned parquet once and read back (resumable: a valid
+    manifest skips stages 1-2 without touching the raw input)."""
+    import ray.data as rd
+
+    spec = dict(_SPEC, input=os.path.abspath(sf_dir))
+    cfg = config_hash(spec)
+    if checkpoint_dir is not None and \
+            _stage2_checkpoint_valid(checkpoint_dir, cfg):
+        return rd.read_parquet(os.path.join(checkpoint_dir, "stage2"))
+
+    from ..stages.dedup import exact_dedup_broadcast
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    q = ds.map_batches(quality_gate, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
+    d = exact_dedup_broadcast(q)
+    if checkpoint_dir is None:
+        return d.materialize()
+
+    import shutil
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    staging = os.path.join(checkpoint_dir, ".tmp-stage2")
+    final = os.path.join(checkpoint_dir, "stage2")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # leftover from a killed run — redo
+    d.write_parquet(staging)
+    if os.path.isdir(final):
+        shutil.rmtree(final)  # stale commit under an older config
+    os.replace(staging, final)
+    out = rd.read_parquet(final)
+    _atomic_write_json(
+        os.path.join(checkpoint_dir, "_stage2_manifest.json"),
+        {"config_hash": cfg, "rows": out.count(), "spec": spec})
+    return out
+
+
+def curate_stats(sf_dir: str, *, checkpoint_dir: str | None = None,
+                 fail_after_stage2: bool = False) -> Dataset:
+    """The full five-stage pipeline; returns (doc_id, n_chunks,
+    n_chunk_words). ``fail_after_stage2`` simulates a job kill right
+    AFTER the stage-2 checkpoint commits (test hook for the
+    kill+resume contract)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.chunk import chunk_documents
+    from ..stages.decontaminate import build_benchmark_grams
+
+    d = stage2_survivors(sf_dir, checkpoint_dir=checkpoint_dir)
+    if fail_after_stage2:
+        raise RuntimeError(
+            "simulated kill after the stage-2 checkpoint commit")
+    gref = ray.put(build_benchmark_grams(d))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch.column("text"), pa.string())
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for g in ray.get(gref):
+            m = pc.fill_null(pc.match_substring(texts, g), False)
+            keep &= ~m.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep))
+
+    c = d.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    ch = chunk_documents(c, size=32, stride=24)
+
+    def part(batch: pa.Table) -> pa.Table:
+        p = (batch.select(["doc_id", "n_words"]).group_by(["doc_id"])
+             .aggregate([("n_words", "sum"), ([], "count_all")]))
+        return p.select(["doc_id", "n_words_sum", "count_all"]) \
+            .rename_columns(["doc_id", "n_chunk_words", "n_chunks"])
+
+    parts = ch.map_batches(part, batch_format="pyarrow")
+    return (parts.groupby("doc_id")
+            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                       Sum("n_chunk_words", alias_name="n_chunk_words")))

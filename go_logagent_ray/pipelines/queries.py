@@ -1828,59 +1828,18 @@ def q_curate_docs(sf_dir: str):
 
     The SQL oracle is the SAME five stages as chained CTEs, so the
     hash check verifies the COMPOSITION (stage ordering and the exact
-    survivor sets at every boundary), not just each operator alone."""
-    import ray
-    from ray.data.aggregate import Sum
+    survivor sets at every boundary), not just each operator alone.
 
-    from ..functions.textstats import repetition_stats
-    from ..stages.chunk import chunk_documents
-    from ..stages.decontaminate import build_benchmark_grams
-    from ..stages.dedup import exact_dedup_broadcast
+    Implementation lives in ``pipelines/curation.py``: the shared
+    quality+dedup survivor set is consumed by multiple downstream
+    lineages, so it is materialized once here — or, at 100 TB scale,
+    committed to a partitioned-parquet checkpoint
+    (``curate_stats(checkpoint_dir=...)``, kill+resume-tested: the
+    resume reproduces the identical final table from the checkpoint
+    alone, raw input deleted)."""
+    from .curation import curate_stats
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def quality(batch: pa.Table) -> pa.Table:
-        b = repetition_stats(batch)
-        keep = pc.and_(
-            pc.greater_equal(b["n_toks"], pa.scalar(20)),
-            pc.less_equal(pc.multiply(b["dup_bigrams"], pa.scalar(1000)),
-                          pc.multiply(b["n_bigrams"], pa.scalar(80))))
-        return batch.filter(keep)
-
-    # Materialize the shared quality+dedup intermediate: it is
-    # consumed THREE times (keeper fit inside exact_dedup_broadcast,
-    # build_benchmark_grams, and the final clean→chunk→aggregate
-    # lineage) — without this the read + bigram group_by re-execute
-    # per consumer (same rule as ngram_jaccard_pairs_lsh's cands).
-    # At 100 TB the multi-consumer boundary would be a partitioned
-    # parquet checkpoint (state/checkpoint.py) instead of object-store
-    # materialization — same dataflow, resumable, spill-free.
-    q = ds.map_batches(quality, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize()
-    d = exact_dedup_broadcast(q).materialize()
-    gref = ray.put(build_benchmark_grams(d))
-
-    def clean(batch: pa.Table) -> pa.Table:
-        texts = pc.cast(batch.column("text"), pa.string())
-        keep = np.ones(batch.num_rows, dtype=bool)
-        for g in ray.get(gref):
-            m = pc.fill_null(pc.match_substring(texts, g), False)
-            keep &= ~m.to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(keep))
-
-    c = d.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
-    ch = chunk_documents(c, size=32, stride=24)
-
-    def part(batch: pa.Table) -> pa.Table:
-        p = (batch.select(["doc_id", "n_words"]).group_by(["doc_id"])
-             .aggregate([("n_words", "sum"), ([], "count_all")]))
-        return p.select(["doc_id", "n_words_sum", "count_all"]) \
-            .rename_columns(["doc_id", "n_chunk_words", "n_chunks"])
-
-    parts = ch.map_batches(part, batch_format="pyarrow")
-    return (parts.groupby("doc_id")
-            .aggregate(Sum("n_chunks", alias_name="n_chunks"),
-                       Sum("n_chunk_words", alias_name="n_chunk_words")))
+    return curate_stats(sf_dir)
 
 
 SQL_CURATE_DOCS = r"""

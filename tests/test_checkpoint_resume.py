@@ -129,3 +129,50 @@ def test_list_fragments_expands_directories(transcripts_parquet, tmp_path):
     direct = list_fragments([str(d / "a.parquet"), str(d / "b.parquet")],
                             rgs_per_fragment=2)
     assert frags == direct
+
+
+def test_curate_checkpoint_kill_resume_identical(ray_session, tmp_path):
+    """The stage-2 (quality+dedup) boundary as a partitioned-parquet
+    checkpoint: kill right after the commit, DELETE the raw input,
+    resume — the final table must be identical to the single-shot
+    in-memory run, proving stages 1-2 never re-execute."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from go_logagent_ray.pipelines.curation import curate_stats
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.default_rng(31)
+    vocab = [f"v{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 90)))
+             for _ in range(120)]
+    texts[7] = texts[3]          # exact dup for stage 2
+    texts[11] = "tiny doc"       # fails the >= 20 token gate
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(sf / "documents.parquet"))
+
+    def as_sorted(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    baseline = as_sorted(curate_stats(str(sf)))
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        curate_stats(str(sf), checkpoint_dir=ckpt, fail_after_stage2=True)
+    assert os.path.isfile(os.path.join(ckpt, "_stage2_manifest.json"))
+
+    # the kill left a committed checkpoint; the raw input disappears —
+    # the resume may only touch the checkpoint
+    shutil.rmtree(sf)
+    resumed = as_sorted(curate_stats(str(sf), checkpoint_dir=ckpt))
+
+    assert baseline.doc_id.tolist() == resumed.doc_id.tolist()
+    assert baseline.n_chunks.tolist() == resumed.n_chunks.tolist()
+    assert baseline.n_chunk_words.tolist() == resumed.n_chunk_words.tolist()
