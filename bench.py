@@ -159,6 +159,7 @@ def bench_queries() -> dict[str, float]:
         "unigram_lm_docs",        # corpus-fit unigram-LM scoring (r3)
         "curate_docs",            # 5-stage curation composition (r3)
         "segment_dedup_docs",     # aligned-window substring dedup (r3)
+        "cdc_dedup_docs",         # content-defined-chunk dedup (r4)
         "bpe_merges_docs",        # distributed BPE merge learning (r3)
         "quality_threshold_docs",  # corpus-quantile quality gate (r3)
     ]

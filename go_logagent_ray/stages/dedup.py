@@ -114,6 +114,10 @@ def distinct_count(ds: Dataset, text_field: str = "text") -> int:
 
 # ---------------------------------------------------------------- minhash
 
+# per-worker-process cache of the ngram-verify broadcast gram table as
+# polars (cleared when a new table arrives so stale copies don't pile up)
+_GM_CACHE: dict = {}
+
 _MERSENNE = (1 << 61) - 1
 _FNV = np.uint64(1099511628211)
 
@@ -913,7 +917,13 @@ def ngram_jaccard_pairs_lsh(
         def verify_bcast(batch: pa.Table) -> pa.Table:
             import polars as pl
 
-            gm = pl.from_arrow(ray.get(gref))
+            gm = _GM_CACHE.get(gref.hex())
+            if gm is None:
+                # Arrow→polars conversion of the gram table once per
+                # worker process, not once per batch
+                gm = pl.from_arrow(ray.get(gref))
+                _GM_CACHE.clear()
+                _GM_CACHE[gref.hex()] = gm
             df = (pl.from_arrow(batch.select(["doc_a", "doc_b"]))
                   .join(gm.rename({"_jk": "doc_a", "_grams": "_ga"}),
                         on="doc_a", how="left")
