@@ -47,6 +47,10 @@ from ray.data import Dataset
 
 from ..state.checkpoint import _atomic_write_json, config_hash
 
+# THE stage parameters — quality_gate reads them from here, so the
+# checkpoint config hash is derived from the real gate definition (a
+# threshold change invalidates old checkpoints by construction; a
+# duplicated constant could silently go stale relative to the code)
 _SPEC = {
     "stage": "curate-quality-dedup",
     "min_toks": 20,
@@ -56,15 +60,17 @@ _SPEC = {
 
 
 def quality_gate(batch: pa.Table) -> pa.Table:
-    """Stage 1: keep docs with ≥ 20 tokens and ≤ 8% duplicate bigrams
-    (Gopher-style repetition filter, integer math)."""
+    """Stage 1: keep docs with ≥ _SPEC['min_toks'] tokens and duplicate
+    bigrams ≤ _SPEC['dup_bigram_permille']/1000 (Gopher-style
+    repetition filter, integer math)."""
     from ..functions.textstats import repetition_stats
 
     b = repetition_stats(batch)
     keep = pc.and_(
-        pc.greater_equal(b["n_toks"], pa.scalar(20)),
+        pc.greater_equal(b["n_toks"], pa.scalar(_SPEC["min_toks"])),
         pc.less_equal(pc.multiply(b["dup_bigrams"], pa.scalar(1000)),
-                      pc.multiply(b["n_bigrams"], pa.scalar(80))))
+                      pc.multiply(b["n_bigrams"],
+                                  pa.scalar(_SPEC["dup_bigram_permille"]))))
     return batch.filter(keep)
 
 
@@ -109,16 +115,22 @@ def stage2_survivors(sf_dir: str, *,
     os.makedirs(checkpoint_dir, exist_ok=True)
     staging = os.path.join(checkpoint_dir, ".tmp-stage2")
     final = os.path.join(checkpoint_dir, "stage2")
+    mpath = os.path.join(checkpoint_dir, "_stage2_manifest.json")
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # leftover from a killed run — redo
     d.write_parquet(staging)
+    # invalidate any OLD manifest before touching the data dir: a kill
+    # between the data replace and the new manifest write must leave
+    # "no checkpoint", never "old manifest + new data" (a later resume
+    # under the old config would silently read the wrong survivor set)
+    if os.path.isfile(mpath):
+        os.remove(mpath)
     if os.path.isdir(final):
         shutil.rmtree(final)  # stale commit under an older config
     os.replace(staging, final)
     out = rd.read_parquet(final)
     _atomic_write_json(
-        os.path.join(checkpoint_dir, "_stage2_manifest.json"),
-        {"config_hash": cfg, "rows": out.count(), "spec": spec})
+        mpath, {"config_hash": cfg, "rows": out.count(), "spec": spec})
     return out
 
 

@@ -1138,15 +1138,20 @@ FROM t GROUP BY conv_id
 
 
 def q_conv_gap_stats_salted(sf_dir: str):
-    """P + W wired together: the hot-key census (stages/partition.py)
-    picks skewed keys; conv_gap_stats runs the salted two-level assoc
-    merge ((key, order//chunk) partials, per-key re-merge) for them —
-    bounded group sizes, same oracle as the unsalted query."""
-    from ..stages.partition import hot_keys
+    """P + W wired together: the TOP-K hot-key census
+    (stages/partition.py::hot_topk — the scale-independent production
+    shape; in this testdata EVERY user clears any absolute threshold,
+    so a threshold census grows with sf and would trip hot_keys'
+    max_hot guard above sf≈0.27) picks the heaviest keys;
+    conv_gap_stats runs the salted two-level assoc merge
+    ((key, order//chunk) partials, per-key re-merge) for them —
+    bounded group sizes, same oracle as the unsalted query (salting
+    must not change the stats)."""
+    from ..stages.partition import hot_topk
     from ..stages.window import conv_gap_stats
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    hot = hot_keys(ds, "user_id", threshold=32)
+    hot = hot_topk(ds, "user_id", k=8)
     return conv_gap_stats(ds, key="user_id", ts="ts", order="event_id",
                           salt_chunk=64, hot=hot)
 

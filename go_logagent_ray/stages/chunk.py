@@ -68,10 +68,11 @@ def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
                                "chunk_text"]).to_arrow()
         n = df["_n"].to_numpy()
         if len(n) == 0:
-            return pa.table({id_field: pa.array([], pa.int64()),
-                             "chunk_idx": pa.array([], pa.int64()),
-                             "n_words": pa.array([], pa.int64()),
-                             "chunk_text": pa.array([], pa.string())})
+            return pa.table({
+                id_field: pa.array([], batch.schema.field(id_field).type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string())})
         max_chunks = int((n.max() - 1) // stride + 1)
         ids_out, idx_out, nw_out, txt_out = [], [], [], []
         for k in range(max_chunks):
@@ -132,10 +133,14 @@ def cdc_chunk_fn(*, avg_size: int = 20, text_field: str = "text",
         df = df.with_columns(pl.col(text_field).cast(pl.Utf8))
         df = df.filter(pl.col(text_field).is_not_null())
         if len(df) == 0:
-            return pa.table({id_field: pa.array([], pa.int64()),
-                             "chunk_idx": pa.array([], pa.int64()),
-                             "n_words": pa.array([], pa.int64()),
-                             "chunk_text": pa.array([], pa.string())})
+            # empty table carries the batch's REAL id dtype — an int64
+            # assumption would hand Ray a mixed schema when an all-null
+            # block meets blocks with (e.g.) string ids
+            return pa.table({
+                id_field: pa.array([], batch.schema.field(id_field).type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string())})
         tok = (df.with_row_index("_r")
                .select(["_r", id_field,
                         pl.col(text_field).str.split(" ").alias("_w")])

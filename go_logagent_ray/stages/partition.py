@@ -51,11 +51,15 @@ def hot_keys(ds: Dataset, key: str, threshold: int,
     def block_hot(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch["n"], threshold))
 
-    rows = counts.map_batches(block_hot, batch_format="pyarrow").take_all()
+    # limit BEFORE the driver collect: the guard must bound what the
+    # driver ever holds, not fire after take_all already shipped an
+    # unbounded row set (streaming limit stops upstream execution)
+    rows = counts.map_batches(block_hot, batch_format="pyarrow") \
+        .limit(max_hot + 1).take_all()
     if len(rows) > max_hot:
         raise ValueError(
-            f"hot_keys: {len(rows)} keys exceed threshold={threshold} "
-            f"(> max_hot={max_hot}). An absolute threshold admits "
+            f"hot_keys: more than max_hot={max_hot} keys exceed "
+            f"threshold={threshold}. An absolute threshold admits "
             "unboundedly many hot keys as the table grows — use "
             "hot_topk(ds, key, k) for a scale-independent census, or "
             "raise max_hot deliberately.")

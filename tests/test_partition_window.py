@@ -246,3 +246,21 @@ def test_salted_sessions_reject_cross_chunk_inversion(ray_session):
         # salt_chunk=1 → one row per chunk: the local monotonicity check
         # can never fire, only the per-key stitch check can
         session_windows(ds, gap_us=300, salt_chunk=1).materialize()
+
+
+def test_hot_keys_max_hot_guard_trips_loudly(ray_session):
+    """An absolute threshold that admits more than max_hot keys must
+    raise (pointing at hot_topk), and the streaming limit means the
+    driver never holds more than max_hot+1 rows first."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from go_logagent_ray.stages.partition import hot_keys
+
+    t = pa.table({"k": pa.array([f"k{i}" for i in range(20)
+                                 for _ in range(3)])})
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="hot_topk"):
+        hot_keys(ds, "k", threshold=1, max_hot=5)
+    assert len(hot_keys(ds, "k", threshold=1, max_hot=50)) == 20
