@@ -1434,6 +1434,121 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+def q_lm_bucket_docs(sf_dir: str):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020 —
+    the public shape: score every doc with the LM, bucket the corpus
+    at the score's terciles; CCNet trains downstream models on the
+    'head'). Composition of two oracle-proven pieces:
+
+    1. unigram-LM integer components (``stages/lm.py``) — the
+       corpus-fit stand-in for KenLM in this environment;
+    2. the exact (value, count)-partials quantile census
+       (``quality_threshold_docs``'s machinery) over an INTEGER score.
+
+    Score (integer math end-to-end, so the oracle is bit-exact):
+    mean token rank with OOV penalized at rank V+1, scaled then
+    QUANTIZED — ``score_q = ((sum_rank + 17·n_oov)·10⁶ ÷ n_toks) ÷
+    10³`` (floor divisions). Quantization bounds the census: distinct
+    ``score_q`` values ≤ ~16k at ANY corpus size, so the driver-side
+    threshold merge never grows with the data. Zero-token docs are
+    unscoreable and excluded (both sides). The scored table is
+    materialized once (two consumers: census + final bucketing); at
+    10^12 docs that boundary would be the partitioned-parquet
+    checkpoint (pipelines/curation.py shape) instead."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.lm import unigram_rank_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    comp = unigram_rank_score(ds, vocab_size=16)
+
+    def add_score(batch: pa.Table) -> pa.Table:
+        nt = as_combined(batch["n_toks"]).to_numpy(zero_copy_only=False)
+        m = nt > 0
+        sr = as_combined(batch["sum_rank"]).to_numpy(
+            zero_copy_only=False)[m]
+        no = as_combined(batch["n_oov"]).to_numpy(zero_copy_only=False)[m]
+        sq = ((sr + 17 * no) * 1_000_000 // nt[m]) // 1_000
+        return pa.table({
+            "doc_id": as_combined(batch["doc_id"]).filter(pa.array(m)),
+            "score_q": pa.array(sq.astype(np.int64), pa.int64())})
+
+    scored = comp.map_batches(add_score,
+                              batch_format="pyarrow").materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.select(["score_q"]).group_by(["score_q"]) \
+            .aggregate([([], "count_all")])
+        return p.select(["score_q", "count_all"]) \
+            .rename_columns(["score_q", "cnt"])
+
+    counts = scored.map_batches(partial, batch_format="pyarrow") \
+        .groupby("score_q").aggregate(Sum("cnt", alias_name="cnt"))
+    vs, cs = [], []
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        vs.append(b.column("score_q").to_numpy(zero_copy_only=False))
+        cs.append(b.column("cnt").to_numpy(zero_copy_only=False))
+    v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+    c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    if v.size == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_q": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.string())})
+    o = np.argsort(v, kind="stable")
+    v, c = v[o], c[o]
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    # quantile_disc convention (locked to DuckDB in the quality gate):
+    # element at ceil(n·q)−1 of the sorted multiset, integer math
+    t1 = int(v[np.searchsorted(cum, (n + 2) // 3)])        # q = 1/3
+    t2 = int(v[np.searchsorted(cum, (2 * n + 2) // 3)])    # q = 2/3
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        sq = as_combined(batch["score_q"]).to_numpy(zero_copy_only=False)
+        lab = np.where(sq <= t1, "head",
+                       np.where(sq <= t2, "middle", "tail"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "score_q": batch["score_q"],
+                         "bucket": pa.array(lab, pa.string())})
+
+    return scored.map_batches(bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+SQL_LM_BUCKET_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+cnts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM toks GROUP BY term),
+vocab AS (SELECT term, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, term)
+                      AS BIGINT) AS rank
+          FROM cnts ORDER BY cnt DESC, term LIMIT 16),
+per AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS BIGINT)
+           AS n_oov,
+         CAST(COALESCE(SUM(v.rank), 0) AS BIGINT) AS sum_rank
+  FROM toks t LEFT JOIN vocab v USING (term) GROUP BY t.doc_id),
+sc AS (
+  SELECT doc_id,
+         CAST(((sum_rank + 17 * n_oov) * 1000000) // n_toks // 1000
+              AS BIGINT) AS score_q
+  FROM per WHERE n_toks > 0),
+t AS (SELECT quantile_disc(score_q, 1.0/3) AS t1,
+             quantile_disc(score_q, 2.0/3) AS t2 FROM sc)
+SELECT doc_id, score_q,
+       CASE WHEN score_q <= t1 THEN 'head'
+            WHEN score_q <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc, t
+"""
+
+
 def q_quality_stats_docs(sf_dir: str):
     """Text quality scoring — the integer components are oracle-checked
     (punctuation and word counts); the float score composition is
@@ -2728,6 +2843,7 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
 QUERIES = {
     # --- round-4 new ---
     "cdc_dedup_docs": q_cdc_dedup_docs,
+    "lm_bucket_docs": q_lm_bucket_docs,
     # --- rotated back in from EXTRA (VERDICT r3 #4: every §2 operator
     # gets a DIRECT driver row at least every other round; these four
     # were driver-proven in r1/r2, then proxy-only in r3) ---
@@ -2775,7 +2891,6 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "unigram_lm_docs": q_unigram_lm_docs,
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
-    "parquet_sink_counts": q_parquet_sink_counts,
     "json_sink_rows": q_json_sink_rows,
     "config_pipeline_counts": q_config_pipeline_counts,
     "inline_source_counts": q_inline_source_counts,
@@ -2812,6 +2927,10 @@ QUERIES = {
 # in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    # R4 parquet sink: driver-proven r1-r3; checkpoint_resume_counts
+    # writes the same partitioned parquet sinks in-window — cedes its
+    # slot to the new lm_bucket_docs
+    "parquet_sink_counts": q_parquet_sink_counts,
     # driver-proven THREE rounds running (r1-r3) — cede slots for the
     # round-4 rotation (interpolate/topk_orders/union/filter back in,
     # per VERDICT r3 #4) and the new cdc_dedup_docs; rotate back by r6
@@ -2894,6 +3013,7 @@ ORACLE_SQL = {
     "semdedup_embeddings": SQL_SEMDEDUP_EMBEDDINGS,
     "unigram_lm_docs": SQL_UNIGRAM_LM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,
+    "lm_bucket_docs": SQL_LM_BUCKET_DOCS,
     # id-ordered chunks make streaming first-seen == batch MIN(doc_id)
     "incremental_dedup_docs": SQL_DEDUP_EXACT_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,

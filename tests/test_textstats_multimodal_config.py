@@ -376,3 +376,36 @@ def test_config_pii_stage_idempotent_columns(ray_session):
     assert twice.column_names.count("n_email") == 1
     assert twice.column_names == once.column_names
     assert twice["n_email"].to_pylist() == [0, 0]  # already scrubbed
+
+
+def test_lm_bucket_tercile_ties_match_duckdb(ray_session):
+    """head/middle/tail bucketing with heavy ties at the tercile
+    boundaries (all-identical docs collapse to one score value) must
+    match quantile_disc semantics exactly."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from go_logagent_ray.pipelines.queries import (SQL_LM_BUCKET_DOCS,
+                                                   q_lm_bucket_docs)
+
+    d = tempfile.mkdtemp(prefix="glr_lmb_")
+    texts = (["a a a"] * 7            # one hot score value (ties)
+             + ["a b c d"] * 5
+             + ["zz yy xx ww vv uu"] * 4   # OOV-heavy
+             + [None, "", "   "])
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", t)
+    got = q_lm_bucket_docs(d).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    exp = con.sql(SQL_LM_BUCKET_DOCS).df().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.doc_id.tolist() == exp.doc_id.tolist()
+    assert got.score_q.tolist() == exp.score_q.tolist()
+    assert got.bucket.tolist() == exp.bucket.tolist()
+    assert set(got.bucket) == {"head", "middle", "tail"}
