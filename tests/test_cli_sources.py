@@ -102,3 +102,21 @@ def test_tcp_line_source_feeds_filter_chain(ray_session):
             ("ERROR", 2), ("INFO", 1), ("WARN", 3)]
     finally:
         src.close()
+
+
+def test_stdout_sink_prints_rows(ray_session, capsys):
+    """R2 debug sink: an output of type 'stdout' shows rows on stdout
+    (the go-logagent stdout output plugin analog)."""
+    from go_logagent_ray.config import Pipeline
+
+    conf = {
+        "input": {"type": "items",
+                  "items": [{"conv_id": "c1", "text": "hello"},
+                            {"conv_id": "c2", "text": "world"}]},
+        "filters": [],
+        "outputs": [{"type": "stdout", "limit": 5}],
+    }
+    Pipeline.from_config(conf).run()
+    printed = capsys.readouterr().out
+    assert "c1" in printed and "hello" in printed
+    assert "c2" in printed and "world" in printed
