@@ -1549,6 +1549,33 @@ FROM sc, t
 """
 
 
+def q_shuffle_order_docs(sf_dir: str):
+    """Deterministic training-order shuffle
+    (`stages/sample.py::training_order`): hash-bucket two-level global
+    shuffle — shard = seeded-hash % 16, position = rank within the
+    shard under (hash, id). ONE bounded groupby (16 groups) replaces
+    the all-to-all a full sort/random_shuffle would cost; the order is
+    reproducible from the seed on any partitioning. md5 hash mode
+    mirrors DuckDB's md5_number_lower so the oracle reproduces the
+    EXACT order (hash-verified), not just the shard histogram."""
+    from ..stages.sample import training_order
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return training_order(ds, shards=16, seed=7, hash_mode="md5")
+
+
+SQL_SHUFFLE_ORDER_DOCS = """
+WITH h AS (
+  SELECT doc_id,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || ':7') AS hv
+  FROM documents)
+SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 16
+                               ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
 def q_quality_stats_docs(sf_dir: str):
     """Text quality scoring — the integer components are oracle-checked
     (punctuation and word counts); the float score composition is
@@ -2940,6 +2967,7 @@ EXTRA_QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "hash_join": q_hash_join,
     "bpe_vocab_docs": q_bpe_vocab_docs,
+    "shuffle_order_docs": q_shuffle_order_docs,
     "zscore_filter_docs": q_zscore_filter_docs,
     "spike_hours_events": q_spike_hours_events,
     "funnel_users_events": q_funnel_users_events,
@@ -3014,6 +3042,7 @@ ORACLE_SQL = {
     "unigram_lm_docs": SQL_UNIGRAM_LM_DOCS,
     "curate_docs": SQL_CURATE_DOCS,
     "lm_bucket_docs": SQL_LM_BUCKET_DOCS,
+    "shuffle_order_docs": SQL_SHUFFLE_ORDER_DOCS,
     # id-ordered chunks make streaming first-seen == batch MIN(doc_id)
     "incremental_dedup_docs": SQL_DEDUP_EXACT_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,

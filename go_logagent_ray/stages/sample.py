@@ -114,3 +114,72 @@ def stratified_sample(ds: Dataset, key: str, group: str,
         return batch.filter(pa.array(b < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def training_order(ds: Dataset, *, id_field: str = "doc_id",
+                   shards: int = 64, seed: int = 0,
+                   hash_mode: str = "polars") -> Dataset:
+    """Deterministic corpus shuffle for training order — the
+    hash-bucket TWO-LEVEL shape that replaces a global
+    ``random_shuffle``/sort at scale: each row gets
+    ``shard = h % shards`` and ``pos`` = its rank within the shard
+    under (h, id), where h is a seeded 64-bit hash of the id. A reader
+    streaming the shards in order (or interleaving them) sees a
+    reproducible pseudo-random global order; re-running with the same
+    seed reproduces it exactly on any partitioning.
+
+    Scale shape: ONE bounded groupby shuffle (``shards`` groups, each
+    ~corpus/shards rows — size ``shards`` so a group fits a task), an
+    in-group argsort, zero driver state. A full-corpus ``sort`` or
+    ``random_shuffle`` would be an all-to-all over total order instead.
+
+    ``hash_mode="polars"`` is the production vectorized hash;
+    ``"md5"`` hashes ``str(id) + ':' + str(seed)`` with DuckDB's
+    ``md5_number_lower`` convention so a SQL oracle reproduces the
+    exact order (per-row Python md5 — oracle-parity mode only, same
+    trade as simhash's)."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+
+    if hash_mode not in ("polars", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    n_shards = np.uint64(max(1, int(shards)))
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        ids = as_combined(batch[id_field])
+        if hash_mode == "polars":
+            s = pl.from_arrow(pc.cast(ids, pa.string())) + f":{seed}"
+            h = stable_hash64(s)
+        else:
+            import hashlib
+
+            h = np.array(
+                [int.from_bytes(
+                    hashlib.md5(f"{v}:{seed}".encode()).digest()[8:16],
+                    "little")
+                 for v in ids.to_pylist()], dtype=np.uint64)
+        out = {id_field: ids,
+               "_h": pa.array(h.astype(np.int64)),  # int64 for Ray keys
+               "shard": pa.array((h % n_shards).astype(np.int64))}
+        return pa.table(out)
+
+    keyed = ds.select_columns([id_field]).map_batches(
+        add_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_shard(g: pa.Table) -> pa.Table:
+        h = as_combined(g["_h"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64).astype(np.uint64)  # back to unsigned order
+        ids = g[id_field]
+        idx = np.lexsort((ids.to_numpy(zero_copy_only=False), h))
+        return pa.table({
+            id_field: as_combined(ids).take(pa.array(idx, pa.int64())),
+            "shard": g["shard"].slice(0, 1).combine_chunks()
+            .take(pa.array(np.zeros(len(idx), np.int64))),
+            "pos": pa.array(np.arange(len(idx), dtype=np.int64)),
+        })
+
+    return keyed.groupby("shard").map_groups(order_shard,
+                                             batch_format="pyarrow")

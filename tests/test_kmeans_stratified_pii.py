@@ -135,3 +135,27 @@ def test_semdedup_blocked_matmul_finds_cross_block_pairs(ray_session):
                          iters=1).to_pandas()
     got = sorted(zip(out.doc_a, out.doc_b))
     assert got == [(10, 2900), (1500, 2999)]
+
+
+def test_training_order_deterministic_and_complete(ray_session):
+    """Production (polars-hash) training order: every id appears exactly
+    once, positions are 0..n-1 within each shard, and the order is
+    identical across runs AND partitionings (the reproducibility
+    contract)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sample import training_order
+
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+
+    def run(parts):
+        out = training_order(rd.from_arrow(t).repartition(parts),
+                             shards=8, seed=3).to_pandas()
+        return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+    a, b = run(2), run(7)
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert sorted(a.doc_id) == list(range(200))
+    for _, g in a.groupby("shard"):
+        assert g.pos.tolist() == list(range(len(g)))
