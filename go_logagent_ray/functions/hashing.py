@@ -30,3 +30,24 @@ def stable_hash64_i64(col, seed: int = 0) -> np.ndarray:
     if not isinstance(s, pl.Series):
         s = s.to_series(0)
     return stable_hash64(s.cast(pl.Utf8), seed=seed).view(np.int64)
+
+
+def md5_number_lower(strings) -> np.ndarray:
+    """THE DuckDB ``md5_number_lower`` convention, pinned in ONE place:
+    the lower 8 bytes of the md5 digest, little-endian, as uint64 —
+    every oracle-parity hash mode (simhash tokens, CDC anchors,
+    training-order) must share this byte convention or its SQL oracle
+    silently diverges. Runs per UNIQUE string (np.unique + inverse
+    map). Python-loop oracle mode only — production paths keep the
+    vectorized ``stable_hash64``."""
+    import hashlib
+
+    arr = np.asarray(strings, dtype=object)
+    if arr.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uh = np.array(
+        [int.from_bytes(hashlib.md5(str(t).encode("utf-8")).digest()[8:16],
+                        "little") for t in uniq],
+        dtype=np.uint64)
+    return uh[inv]

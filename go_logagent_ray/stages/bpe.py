@@ -346,9 +346,10 @@ def bpe_token_counts(ds: Dataset, rounds: int = 3,
             if wm is None:
                 # Arrow→polars conversion of the multi-GB map once per
                 # worker process, not once per batch
+                from .dedup import _cache_put
+
                 wm = pl.from_arrow(ray.get(ref))
-                _WM_CACHE.clear()
-                _WM_CACHE[ref.hex()] = wm
+                _cache_put(_WM_CACHE, ref.hex(), wm)
             tok = (df.select([id_field,
                               pl.col(text_field).str.split(" ")
                               .alias("_w")])
@@ -454,8 +455,9 @@ def bpe_token_counts(ds: Dataset, rounds: int = 3,
                        alias="n_tokens", mode="shuffle")
 
 
-# per-worker-process cache of the encode broadcast map (cleared when a
-# new map arrives so stale multi-GB tables don't accumulate)
+# per-worker-process cache of the encode broadcast map (bounded FIFO
+# via dedup._cache_put so stale multi-GB tables can't accumulate and
+# interleaved pipelines don't thrash)
 _WM_CACHE: dict = {}
 
 

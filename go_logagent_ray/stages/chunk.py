@@ -23,6 +23,18 @@ CHUNK_SIZE = 32
 CHUNK_STRIDE = 24
 
 
+def _out_schema(batch: pa.Table, id_field: str) -> pa.Schema:
+    """Canonical explode output schema. Every branch of every chunker
+    casts to THIS, because the branches otherwise disagree on string
+    width: polars ``to_arrow`` emits large_string while hand-built
+    empty/loop tables emit string — Ray 2.49 then sees blocks with
+    different schemas and strict block concatenation fails."""
+    return pa.schema([(id_field, batch.schema.field(id_field).type),
+                      ("chunk_idx", pa.int64()),
+                      ("n_words", pa.int64()),
+                      ("chunk_text", pa.string())])
+
+
 def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
                    text_field: str = "text", id_field: str = "doc_id"):
     """The per-batch explode as a standalone callable — used by
@@ -65,14 +77,11 @@ def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
                         pl.len().cast(pl.Int64).alias("n_words"),
                         pl.col("_w").str.join(" ").alias("chunk_text")))
             return seg.select([id_field, "chunk_idx", "n_words",
-                               "chunk_text"]).to_arrow()
+                               "chunk_text"]).to_arrow() \
+                .cast(_out_schema(batch, id_field))
         n = df["_n"].to_numpy()
         if len(n) == 0:
-            return pa.table({
-                id_field: pa.array([], batch.schema.field(id_field).type),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_words": pa.array([], pa.int64()),
-                "chunk_text": pa.array([], pa.string())})
+            return _out_schema(batch, id_field).empty_table()
         max_chunks = int((n.max() - 1) // stride + 1)
         ids_out, idx_out, nw_out, txt_out = [], [], [], []
         for k in range(max_chunks):
@@ -96,7 +105,7 @@ def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,
             "chunk_idx": np.concatenate(idx_out),
             "n_words": np.concatenate(nw_out),
             "chunk_text": pl.concat(txt_out).to_arrow(),
-        })
+        }).cast(_out_schema(batch, id_field))
 
     return explode
 
@@ -133,14 +142,7 @@ def cdc_chunk_fn(*, avg_size: int = 20, text_field: str = "text",
         df = df.with_columns(pl.col(text_field).cast(pl.Utf8))
         df = df.filter(pl.col(text_field).is_not_null())
         if len(df) == 0:
-            # empty table carries the batch's REAL id dtype — an int64
-            # assumption would hand Ray a mixed schema when an all-null
-            # block meets blocks with (e.g.) string ids
-            return pa.table({
-                id_field: pa.array([], batch.schema.field(id_field).type),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_words": pa.array([], pa.int64()),
-                "chunk_text": pa.array([], pa.string())})
+            return _out_schema(batch, id_field).empty_table()
         tok = (df.with_row_index("_r")
                .select(["_r", id_field,
                         pl.col(text_field).str.split(" ").alias("_w")])
@@ -148,16 +150,9 @@ def cdc_chunk_fn(*, avg_size: int = 20, text_field: str = "text",
         if token_hash == "polars":
             h = stable_hash64(tok["_w"])
         else:
-            import hashlib
+            from ..functions.hashing import md5_number_lower
 
-            w = tok["_w"].to_numpy()
-            uniq, inv = np.unique(w, return_inverse=True)
-            uh = np.array(
-                [int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[8:16],
-                    "little") for t in uniq],
-                dtype=np.uint64)
-            h = uh[inv]
+            h = md5_number_lower(tok["_w"].to_numpy())
         anchor = ((h % np.uint64(avg_size)) == 0).astype(np.int64)
         # a word belongs to chunk = #anchors strictly BEFORE it in the
         # doc (the anchor word ends its own chunk): cum_sum minus self
@@ -170,7 +165,8 @@ def cdc_chunk_fn(*, avg_size: int = 20, text_field: str = "text",
                     pl.len().cast(pl.Int64).alias("n_words"),
                     pl.col("_w").str.join(" ").alias("chunk_text")))
         return seg.select([id_field, "chunk_idx", "n_words",
-                           "chunk_text"]).to_arrow()
+                           "chunk_text"]).to_arrow() \
+            .cast(_out_schema(batch, id_field))
 
     return explode
 

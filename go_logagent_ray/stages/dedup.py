@@ -115,8 +115,18 @@ def distinct_count(ds: Dataset, text_field: str = "text") -> int:
 # ---------------------------------------------------------------- minhash
 
 # per-worker-process cache of the ngram-verify broadcast gram table as
-# polars (cleared when a new table arrives so stale copies don't pile up)
+# polars — bounded FIFO of 4 so (a) two pipelines with different gram
+# tables interleaving in one worker don't evict each other per batch
+# (single-slot clear would re-run pl.from_arrow every batch — worse
+# than no cache) and (b) stale multi-GB copies can't pile up unbounded
 _GM_CACHE: dict = {}
+_CACHE_SLOTS = 4
+
+
+def _cache_put(cache: dict, key, value):
+    while len(cache) >= _CACHE_SLOTS:
+        cache.pop(next(iter(cache)))  # FIFO: dicts preserve insertion
+    cache[key] = value
 
 _MERSENNE = (1 << 61) - 1
 _FNV = np.uint64(1099511628211)
@@ -225,18 +235,13 @@ def _tokenize_hashes_md5(texts) -> tuple[np.ndarray, np.ndarray]:
     this mode exists to make the pipeline SQL-checkable end-to-end.
     Tokenization is the SHARED ``_tokenize_flat`` — only the hash step
     differs from the production mode."""
-    import hashlib
+    from ..functions.hashing import md5_number_lower
 
     flat_s, offsets = _tokenize_flat(texts)
     flat = flat_s.to_numpy()
     if flat.size == 0:
         return np.zeros(0, dtype=np.uint64), offsets
-    uniq, inv = np.unique(flat, return_inverse=True)
-    uh = np.array(
-        [int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16],
-                        "little") for t in uniq],
-        dtype=np.uint64)
-    return uh[inv], offsets
+    return md5_number_lower(flat), offsets
 
 
 def _triu_blocks(n: int, pair_budget: int):
@@ -922,8 +927,7 @@ def ngram_jaccard_pairs_lsh(
                 # Arrow→polars conversion of the gram table once per
                 # worker process, not once per batch
                 gm = pl.from_arrow(ray.get(gref))
-                _GM_CACHE.clear()
-                _GM_CACHE[gref.hex()] = gm
+                _cache_put(_GM_CACHE, gref.hex(), gm)
             df = (pl.from_arrow(batch.select(["doc_a", "doc_b"]))
                   .join(gm.rename({"_jk": "doc_a", "_grams": "_ga"}),
                         on="doc_a", how="left")

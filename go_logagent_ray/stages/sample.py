@@ -154,13 +154,10 @@ def training_order(ds: Dataset, *, id_field: str = "doc_id",
             s = pl.from_arrow(pc.cast(ids, pa.string())) + f":{seed}"
             h = stable_hash64(s)
         else:
-            import hashlib
+            from ..functions.hashing import md5_number_lower
 
-            h = np.array(
-                [int.from_bytes(
-                    hashlib.md5(f"{v}:{seed}".encode()).digest()[8:16],
-                    "little")
-                 for v in ids.to_pylist()], dtype=np.uint64)
+            h = md5_number_lower(
+                [f"{v}:{seed}" for v in ids.to_pylist()])
         out = {id_field: ids,
                "_h": pa.array(h.astype(np.int64)),  # int64 for Ray keys
                "shard": pa.array((h % n_shards).astype(np.int64))}
