@@ -1549,6 +1549,63 @@ FROM sc, t
 """
 
 
+def q_multiline_events(sf_dir: str):
+    """Multiline codec (`stages/filters.py::multiline_join`) — the
+    logstash-family stack-trace joiner (codec multiline,
+    what=previous): indented lines join the closest preceding
+    non-indented line of the same conversation. Log lines are
+    constructed from events SQL-mirrorably (click/view events become
+    indented continuation frames, everything else an ERROR head);
+    leading continuations form group 0 (flush semantics). One
+    groupby(user) shuffle; per-group work bounded by the conversation
+    (same contract as conv_rebuild). The joined TEXT itself is
+    hash-compared — per-line byte equality through the codec."""
+    from ..stages.filters import multiline_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def make_lines(batch: pa.Table) -> pa.Table:
+        eid = as_combined(batch["event_id"])
+        et = as_combined(batch["event_type"])
+        eid_s = pc.cast(eid, pa.string())
+        cont = pc.is_in(et, value_set=pa.array(["click", "view"]))
+        line = pc.if_else(
+            cont,
+            pc.binary_join_element_wise(
+                pa.array(["    at step "] * batch.num_rows), eid_s, ""),
+            pc.binary_join_element_wise(
+                pa.array(["ERROR trace e"] * batch.num_rows), eid_s, ""))
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": eid, "text": line})
+
+    lines = ev.map_batches(make_lines, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return multiline_join(lines, key="user_id", order="event_id",
+                          text_field="text", pattern="^ ")
+
+
+SQL_MULTILINE_EVENTS = """
+WITH t AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN '    at step ' || CAST(event_id AS VARCHAR)
+              ELSE 'ERROR trace e' || CAST(event_id AS VARCHAR)
+         END AS line,
+         CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
+           AS head
+  FROM events),
+g AS (
+  SELECT user_id, event_id, line,
+         SUM(head) OVER (PARTITION BY user_id ORDER BY event_id) AS grp
+  FROM t)
+SELECT user_id, CAST(grp AS BIGINT) AS event_grp,
+       CAST(MIN(event_id) AS BIGINT) AS event_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY event_id) AS text
+FROM g GROUP BY 1, 2
+"""
+
+
 def q_shuffle_order_docs(sf_dir: str):
     """Deterministic training-order shuffle
     (`stages/sample.py::training_order`): hash-bucket two-level global
@@ -2871,6 +2928,7 @@ QUERIES = {
     # --- round-4 new ---
     "cdc_dedup_docs": q_cdc_dedup_docs,
     "lm_bucket_docs": q_lm_bucket_docs,
+    "multiline_events": q_multiline_events,
     # --- rotated back in from EXTRA (VERDICT r3 #4: every §2 operator
     # gets a DIRECT driver row at least every other round; these four
     # were driver-proven in r1/r2, then proxy-only in r3) ---
@@ -2920,7 +2978,6 @@ QUERIES = {
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
     "json_sink_rows": q_json_sink_rows,
     "config_pipeline_counts": q_config_pipeline_counts,
-    "inline_source_counts": q_inline_source_counts,
     "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
     "session_windows_salted": q_session_windows_salted,
@@ -2954,6 +3011,9 @@ QUERIES = {
 # in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    # S2 inline source: driver-proven r1-r3; cedes its slot to the new
+    # multiline_events codec (rotate back by r6)
+    "inline_source_counts": q_inline_source_counts,
     # R4 parquet sink: driver-proven r1-r3; checkpoint_resume_counts
     # writes the same partitioned parquet sinks in-window — cedes its
     # slot to the new lm_bucket_docs
@@ -3043,6 +3103,7 @@ ORACLE_SQL = {
     "curate_docs": SQL_CURATE_DOCS,
     "lm_bucket_docs": SQL_LM_BUCKET_DOCS,
     "shuffle_order_docs": SQL_SHUFFLE_ORDER_DOCS,
+    "multiline_events": SQL_MULTILINE_EVENTS,
     # id-ordered chunks make streaming first-seen == batch MIN(doc_id)
     "incremental_dedup_docs": SQL_DEDUP_EXACT_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,

@@ -129,3 +129,40 @@ def to_json_lines(batch: pa.Table, drop_columns: list[str] | None = None) -> pa.
         json.dumps(row, default=str, separators=(",", ":")) for row in t.to_pylist()
     ]
     return pa.table({"json": pa.array(lines, type=pa.string())})
+
+
+def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
+                   pattern: str = r"^\s", out_group: str = "event_grp"):
+    """Multiline codec — the logstash-family stack-trace joiner
+    (logstash/gogstash ``codec multiline`` with ``what => previous``):
+    a row whose text matches ``pattern`` is a CONTINUATION and joins
+    the closest preceding non-matching row of the same ``key``;
+    leading continuations with no head form group 0 (emitted, like
+    logstash's timeout flush, rather than dropped).
+
+    Output: one row per joined event — (key, out_group, event_idx =
+    the group's min ``order``, n_lines, text joined with newlines).
+
+    Partitioning contract (same as conv_rebuild / the window family):
+    one ``groupby(key)`` shuffle co-locates each conversation; the
+    per-group work is a vectorized polars sort + cumulative head count
+    + group_by join, bounded by the conversation's own length. Order
+    re-established per group from ``order`` — Ray block order is
+    meaningless after a shuffle."""
+    import polars as pl
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.select([key, order, text_field])).sort(order)
+        df = df.with_columns(
+            (~pl.col(text_field).str.contains(pattern).fill_null(False))
+            .cast(pl.Int64).alias("_head"))  # null text = its own head
+        df = df.with_columns(pl.col("_head").cum_sum().alias(out_group))
+        out = (df.group_by(out_group, maintain_order=True)
+               .agg(pl.col(key).first(),
+                    pl.col(order).min().alias("event_idx"),
+                    pl.len().cast(pl.Int64).alias("n_lines"),
+                    pl.col(text_field).str.join("\n").alias(text_field)))
+        return out.select([key, out_group, "event_idx", "n_lines",
+                           text_field]).to_arrow()
+
+    return ds.groupby(key).map_groups(per_conv, batch_format="pyarrow")

@@ -375,3 +375,41 @@ def test_cogrouped_joins_preserve_int64_precision(ray_session):
                                hi="hi", width=1.0, point_cols=["pid"],
                                range_cols=["range_id"]).take_all()
     assert [(r["pid"], r["range_id"]) for r in pairs] == [(big + 1, big + 6)]
+
+
+def test_multiline_join_semantics(ray_session):
+    """Multiline codec: continuations join the closest preceding head,
+    leading continuations form their own group 0, null text is a head,
+    order is re-established per conversation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.filters import multiline_join
+
+    rows = [
+        ("a", 2, " frame1"),    # continuation of head 1 (out of order)
+        ("a", 1, "ERROR x"),
+        ("a", 3, " frame2"),
+        ("a", 4, "ERROR y"),
+        ("b", 1, " orphan"),    # leading continuation -> group 0
+        ("b", 2, "ERROR z"),
+        ("c", 1, None),         # null text = its own head
+    ]
+    t = pa.table({
+        "conv": pa.array([r[0] for r in rows]),
+        "idx": pa.array([r[1] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = multiline_join(rd.from_arrow(t).repartition(3), key="conv",
+                         order="idx", text_field="text",
+                         pattern="^ ").to_pandas()
+    out = out.sort_values(["conv", "event_grp"]).reset_index(drop=True)
+    got = [(r.conv, int(r.event_grp), int(r.event_idx), int(r.n_lines),
+            r.text) for r in out.itertuples()]
+    assert got == [
+        ("a", 1, 1, 3, "ERROR x\n frame1\n frame2"),
+        ("a", 2, 4, 1, "ERROR y"),
+        ("b", 0, 1, 1, " orphan"),
+        ("b", 1, 2, 1, "ERROR z"),
+        ("c", 1, 1, 1, ""),   # str.join over a null line yields ''
+    ]
