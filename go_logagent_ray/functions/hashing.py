@@ -32,22 +32,26 @@ def stable_hash64_i64(col, seed: int = 0) -> np.ndarray:
     return stable_hash64(s.cast(pl.Utf8), seed=seed).view(np.int64)
 
 
-def md5_number_lower(strings) -> np.ndarray:
+def md5_number_lower(strings, *, assume_unique: bool = False) -> np.ndarray:
     """THE DuckDB ``md5_number_lower`` convention, pinned in ONE place:
     the lower 8 bytes of the md5 digest, little-endian, as uint64 —
     every oracle-parity hash mode (simhash tokens, CDC anchors,
     training-order) must share this byte convention or its SQL oracle
-    silently diverges. Runs per UNIQUE string (np.unique + inverse
-    map). Python-loop oracle mode only — production paths keep the
-    vectorized ``stable_hash64``."""
+    silently diverges. By default runs per UNIQUE string (np.unique +
+    inverse map — pays off for repeated tokens); callers whose inputs
+    are unique by construction pass ``assume_unique=True`` to skip the
+    O(n log n) sort that buys nothing there. Python-loop oracle mode
+    only — production paths keep the vectorized ``stable_hash64``."""
     import hashlib
+
+    def h(t) -> int:
+        return int.from_bytes(
+            hashlib.md5(str(t).encode("utf-8")).digest()[8:16], "little")
 
     arr = np.asarray(strings, dtype=object)
     if arr.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if assume_unique:
+        return np.array([h(t) for t in arr], dtype=np.uint64)
     uniq, inv = np.unique(arr, return_inverse=True)
-    uh = np.array(
-        [int.from_bytes(hashlib.md5(str(t).encode("utf-8")).digest()[8:16],
-                        "little") for t in uniq],
-        dtype=np.uint64)
-    return uh[inv]
+    return np.array([h(t) for t in uniq], dtype=np.uint64)[inv]

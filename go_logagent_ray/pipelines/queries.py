@@ -1569,12 +1569,14 @@ def q_multiline_events(sf_dir: str):
         et = as_combined(batch["event_type"])
         eid_s = pc.cast(eid, pa.string())
         cont = pc.is_in(et, value_set=pa.array(["click", "view"]))
+        # scalar prefixes: a list-built constant array infers NULL type
+        # on a zero-row batch and kills binary_join_element_wise
         line = pc.if_else(
             cont,
             pc.binary_join_element_wise(
-                pa.array(["    at step "] * batch.num_rows), eid_s, ""),
+                pa.scalar("    at step "), eid_s, ""),
             pc.binary_join_element_wise(
-                pa.array(["ERROR trace e"] * batch.num_rows), eid_s, ""))
+                pa.scalar("ERROR trace e"), eid_s, ""))
         return pa.table({"user_id": batch["user_id"],
                          "event_id": eid, "text": line})
 

@@ -28,11 +28,14 @@ def _out_schema(batch: pa.Table, id_field: str) -> pa.Schema:
     casts to THIS, because the branches otherwise disagree on string
     width: polars ``to_arrow`` emits large_string while hand-built
     empty/loop tables emit string — Ray 2.49 then sees blocks with
-    different schemas and strict block concatenation fails."""
+    different schemas and strict block concatenation fails.
+    chunk_text canonicalizes UP to large_string: the polars branches'
+    cast becomes a no-op, and a down-cast could overflow 32-bit
+    offsets on a batch holding > 2 GiB of exploded chunk text."""
     return pa.schema([(id_field, batch.schema.field(id_field).type),
                       ("chunk_idx", pa.int64()),
                       ("n_words", pa.int64()),
-                      ("chunk_text", pa.string())])
+                      ("chunk_text", pa.large_string())])
 
 
 def chunk_batch_fn(*, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE,

@@ -115,12 +115,14 @@ def distinct_count(ds: Dataset, text_field: str = "text") -> int:
 # ---------------------------------------------------------------- minhash
 
 # per-worker-process cache of the ngram-verify broadcast gram table as
-# polars — bounded FIFO of 4 so (a) two pipelines with different gram
-# tables interleaving in one worker don't evict each other per batch
-# (single-slot clear would re-run pl.from_arrow every batch — worse
-# than no cache) and (b) stale multi-GB copies can't pile up unbounded
+# polars — bounded FIFO of TWO slots: enough that two pipelines with
+# different gram tables interleaving in one worker don't evict each
+# other per batch (a single-slot clear would re-run pl.from_arrow
+# every batch — worse than no cache), while worst-case per-worker
+# retention stays at two tables (each gated ≤ the 128 MB broadcast
+# budget), not an unbounded pile of stale copies
 _GM_CACHE: dict = {}
-_CACHE_SLOTS = 4
+_CACHE_SLOTS = 2
 
 
 def _cache_put(cache: dict, key, value):

@@ -152,7 +152,15 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
     import polars as pl
 
     def per_conv(g: pa.Table) -> pa.Table:
-        df = pl.from_arrow(g.select([key, order, text_field])).sort(order)
+        df = pl.from_arrow(g.select([key, order, text_field]))
+        # cast guards all-null blocks arriving as Null dtype (no str
+        # namespace — same hazard chunk_batch_fn documents); rows with
+        # a NULL order key cannot be placed in the line sequence and
+        # are dropped (the as-of join's null-time precedent — and
+        # polars sorts nulls first where SQL windows put them last, so
+        # keeping them would silently diverge from any oracle)
+        df = df.with_columns(pl.col(text_field).cast(pl.Utf8)) \
+            .filter(pl.col(order).is_not_null()).sort(order)
         df = df.with_columns(
             (~pl.col(text_field).str.contains(pattern).fill_null(False))
             .cast(pl.Int64).alias("_head"))  # null text = its own head
@@ -161,7 +169,11 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
                .agg(pl.col(key).first(),
                     pl.col(order).min().alias("event_idx"),
                     pl.len().cast(pl.Int64).alias("n_lines"),
-                    pl.col(text_field).str.join("\n").alias(text_field)))
+                    # ignore_nulls pinned: a null line joins to '' and
+                    # must keep doing so if the polars default flips
+                    # (string_agg parity; repo convention, see chunk.py)
+                    pl.col(text_field).str.join("\n", ignore_nulls=True)
+                    .alias(text_field)))
         return out.select([key, out_group, "event_idx", "n_lines",
                            text_field]).to_arrow()
 

@@ -156,8 +156,11 @@ def training_order(ds: Dataset, *, id_field: str = "doc_id",
         else:
             from ..functions.hashing import md5_number_lower
 
+            # ids are unique per batch by the operator's contract —
+            # skip md5_number_lower's dedup sort
             h = md5_number_lower(
-                [f"{v}:{seed}" for v in ids.to_pylist()])
+                [f"{v}:{seed}" for v in ids.to_pylist()],
+                assume_unique=True)
         out = {id_field: ids,
                "_h": pa.array(h.astype(np.int64)),  # int64 for Ray keys
                "shard": pa.array((h % n_shards).astype(np.int64))}
