@@ -1608,6 +1608,43 @@ FROM g GROUP BY 1, 2
 """
 
 
+def q_throttle_events(sf_dir: str):
+    """Rate-limit filter (`stages/filters.py::throttle` — the logstash
+    throttle plugin as a deterministic batch operator): at most 3
+    events per (user, hour), first-by-event_id. Per-batch combiner
+    bounds the shuffle to k × blocks rows per key."""
+    from ..stages.filters import throttle
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(as_combined(batch["ts"]),
+                             pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "hour_us": hour})
+
+    ds = ev.map_batches(add_hour, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return throttle(ds, key_cols=["user_id", "hour_us"],
+                    order="event_id", max_per_key=3)
+
+
+SQL_THROTTLE_EVENTS = """
+SELECT event_id, user_id, hour_us
+FROM (
+  SELECT event_id, user_id,
+         CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('hour', ts)
+           ORDER BY event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL)
+WHERE rn <= 3
+"""
+
+
 def q_shuffle_order_docs(sf_dir: str):
     """Deterministic training-order shuffle
     (`stages/sample.py::training_order`): hash-bucket two-level global
@@ -3030,6 +3067,7 @@ EXTRA_QUERIES = {
     "hash_join": q_hash_join,
     "bpe_vocab_docs": q_bpe_vocab_docs,
     "shuffle_order_docs": q_shuffle_order_docs,
+    "throttle_events": q_throttle_events,
     "zscore_filter_docs": q_zscore_filter_docs,
     "spike_hours_events": q_spike_hours_events,
     "funnel_users_events": q_funnel_users_events,
@@ -3106,6 +3144,7 @@ ORACLE_SQL = {
     "lm_bucket_docs": SQL_LM_BUCKET_DOCS,
     "shuffle_order_docs": SQL_SHUFFLE_ORDER_DOCS,
     "multiline_events": SQL_MULTILINE_EVENTS,
+    "throttle_events": SQL_THROTTLE_EVENTS,
     # id-ordered chunks make streaming first-seen == batch MIN(doc_id)
     "incremental_dedup_docs": SQL_DEDUP_EXACT_DOCS,
     "grouped_quantiles_events": SQL_GROUPED_QUANTILES_EVENTS,

@@ -178,3 +178,36 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
                            text_field]).to_arrow()
 
     return ds.groupby(key).map_groups(per_conv, batch_format="pyarrow")
+
+
+def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int):
+    """Rate-limit filter — the logstash-family ``throttle`` plugin as a
+    deterministic batch operator: keep only the FIRST ``max_per_key``
+    rows per key (ascending ``order``), e.g. at most N events per
+    (user, hour). Batch semantics are first-by-ORDER, not
+    first-by-arrival — reproducible on any partitioning, unlike the
+    streaming plugin's wall-clock window.
+
+    Scale shape (the grouped_topk combiner, ascending): each batch
+    first reduces to ≤ max_per_key rows per key it contains, so the
+    shuffle moves ≤ k × blocks rows per key, never the corpus; the
+    per-group merge re-sorts ≤ k × blocks rows. Rows with a null key
+    or order value are dropped (documented ranking-over-non-null
+    semantics — SQL oracles must filter the same)."""
+    import polars as pl
+
+    cols = list(key_cols) + [order]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch).drop_nulls(cols)
+        return (df.sort(order)
+                .group_by(key_cols, maintain_order=True)
+                .head(max_per_key)).to_arrow()
+
+    def final(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).sort(order)
+        return df.head(max_per_key).to_arrow()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(key_cols).map_groups(final,
+                                              batch_format="pyarrow")

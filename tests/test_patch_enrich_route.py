@@ -413,3 +413,26 @@ def test_multiline_join_semantics(ray_session):
         ("b", 1, 2, 1, "ERROR z"),
         ("c", 1, 1, 1, ""),   # str.join over a null line yields ''
     ]
+
+
+def test_throttle_keeps_first_n_per_key(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from go_logagent_ray.stages.filters import throttle
+
+    rows = [("u1", 0, 5), ("u1", 0, 1), ("u1", 0, 3), ("u1", 0, 4),
+            ("u1", 1, 9), ("u2", 0, 7), ("u2", 0, None), (None, 0, 2)]
+    t = pa.table({
+        "user": pa.array([r[0] for r in rows]),
+        "bucket": pa.array([r[1] for r in rows], pa.int64()),
+        "eid": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    out = throttle(rd.from_arrow(t).repartition(3),
+                   key_cols=["user", "bucket"], order="eid",
+                   max_per_key=2).to_pandas()
+    got = sorted((r.user, int(r.bucket), int(r.eid))
+                 for r in out.itertuples())
+    # first 2 by eid per (user,bucket); null key/order rows dropped
+    assert got == [("u1", 0, 1), ("u1", 0, 3), ("u1", 1, 9),
+                   ("u2", 0, 7)]
