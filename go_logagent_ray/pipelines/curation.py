@@ -74,16 +74,33 @@ def quality_gate(batch: pa.Table) -> pa.Table:
     return batch.filter(keep)
 
 
-def _stage2_checkpoint_valid(checkpoint_dir: str, cfg: str) -> bool:
+def _stage2_checkpoint_load(checkpoint_dir: str, cfg: str):
+    """The checkpointed survivor Dataset, or None if the checkpoint is
+    absent, stale (config mismatch), or DAMAGED — a partially deleted /
+    truncated stage2 directory under an intact manifest must fall
+    through to recompute, never resume silently with fewer rows, so the
+    read-back row count is compared to the manifest's recorded count
+    (parquet footers only — no data scan)."""
     import json
+
+    import ray.data as rd
 
     mpath = os.path.join(checkpoint_dir, "_stage2_manifest.json")
     if not os.path.isfile(mpath):
-        return False
+        return None
     with open(mpath) as f:
         m = json.load(f)
-    return m.get("config_hash") == cfg and \
-        os.path.isdir(os.path.join(checkpoint_dir, "stage2"))
+    if m.get("config_hash") != cfg or \
+            not os.path.isdir(os.path.join(checkpoint_dir, "stage2")):
+        return None
+    try:
+        out = rd.read_parquet(os.path.join(checkpoint_dir, "stage2"))
+        n = out.count()
+    except Exception:
+        return None  # unreadable/empty dir — recompute
+    if n != m.get("rows"):
+        return None
+    return out
 
 
 def stage2_survivors(sf_dir: str, *,
@@ -96,9 +113,10 @@ def stage2_survivors(sf_dir: str, *,
 
     spec = dict(_SPEC, input=os.path.abspath(sf_dir))
     cfg = config_hash(spec)
-    if checkpoint_dir is not None and \
-            _stage2_checkpoint_valid(checkpoint_dir, cfg):
-        return rd.read_parquet(os.path.join(checkpoint_dir, "stage2"))
+    if checkpoint_dir is not None:
+        cached = _stage2_checkpoint_load(checkpoint_dir, cfg)
+        if cached is not None:
+            return cached
 
     from ..stages.dedup import exact_dedup_broadcast
 
@@ -119,6 +137,21 @@ def stage2_survivors(sf_dir: str, *,
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # leftover from a killed run — redo
     d.write_parquet(staging)
+    os.makedirs(staging, exist_ok=True)  # zero-row write may skip the mkdir
+    if not any(os.scandir(staging)):
+        # zero-survivor run: write_parquet of an empty Dataset leaves no
+        # files, and a later read_parquet of the bare directory fails —
+        # commit one explicit empty file carrying the schema so the
+        # zero-row checkpoint resumes like any other
+        import pyarrow.parquet as pq
+
+        # a fully-empty Dataset can report schema() None — the dedup
+        # stage preserves the input columns, so the read's schema is
+        # authoritative
+        sch = d.schema() or ds.schema()
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
+        pq.write_table(empty, os.path.join(staging, "empty.parquet"))
     # invalidate any OLD manifest before touching the data dir: a kill
     # between the data replace and the new manifest write must leave
     # "no checkpoint", never "old manifest + new data" (a later resume

@@ -1595,7 +1595,11 @@ WITH t AS (
          END AS line,
          CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
            AS head
-  FROM events),
+  FROM events
+  -- multiline_join drops rows with a null order key (filters.py: a row
+  -- without a position cannot join the line sequence); mirror that drop
+  -- here so the pair agrees even if the testdata ever grows null ids
+  WHERE event_id IS NOT NULL),
 g AS (
   SELECT user_id, event_id, line,
          SUM(head) OVER (PARTITION BY user_id ORDER BY event_id) AS grp

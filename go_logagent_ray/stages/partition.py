@@ -143,7 +143,16 @@ def add_salted_partition(ds: Dataset, key: str, num_partitions: int,
     census (bounded by ``hot_keys``'s ``max_hot`` guard) for callers
     that genuinely mean "every key above N rows"; ``hot`` supplies a
     precomputed set and skips the census pass. ``hot_k=None`` with no
-    threshold/set disables salting entirely."""
+    threshold/set disables salting entirely.
+
+    CALLER CONTRACT (salting on by default): a hot key's rows land in
+    ``salt_factor`` different partitions, so any downstream grouping on
+    ``part`` must either re-merge sub-partition results (associative
+    aggregates — the shape every salted query in pipelines/queries.py
+    uses) or pass ``hot_k=None`` to get strict one-partition-per-key
+    placement. Audited (r5): no in-repo caller relies on the old
+    no-salting default; the query-side salted windows/joins compute
+    ``hot_topk`` explicitly and perform the two-level merge."""
     if hot is not None:
         pass
     elif hot_threshold is not None:

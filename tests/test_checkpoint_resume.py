@@ -176,3 +176,75 @@ def test_curate_checkpoint_kill_resume_identical(ray_session, tmp_path):
     assert baseline.doc_id.tolist() == resumed.doc_id.tolist()
     assert baseline.n_chunks.tolist() == resumed.n_chunks.tolist()
     assert baseline.n_chunk_words.tolist() == resumed.n_chunk_words.tolist()
+
+
+def test_curate_checkpoint_damaged_data_recomputes(ray_session, tmp_path):
+    """A partially deleted stage2 directory under an INTACT manifest
+    must fall through to recompute (row-count validation), never resume
+    silently with fewer rows."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_logagent_ray.pipelines.curation import stage2_survivors
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rng = np.random.default_rng(32)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(25, 60)))
+             for _ in range(80)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(sf / "documents.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    full = stage2_survivors(str(sf), checkpoint_dir=ckpt).to_pandas()
+    n = len(full)
+    assert n > 0
+
+    # simulate truncation: drop one NON-EMPTY committed data file,
+    # keeping the manifest intact — the resume must detect the row
+    # deficit and recompute
+    stage2 = os.path.join(ckpt, "stage2")
+    files = sorted(os.listdir(stage2))
+    victim = next(f for f in files
+                  if pq.read_metadata(os.path.join(stage2, f)).num_rows)
+    os.remove(os.path.join(stage2, victim))
+    with open(os.path.join(ckpt, "_stage2_manifest.json")) as f:
+        assert json.load(f)["rows"] == n  # manifest still claims all rows
+
+    again = stage2_survivors(str(sf), checkpoint_dir=ckpt).to_pandas()
+    assert len(again) == n  # recomputed, not the truncated read-back
+    assert sorted(again.doc_id) == sorted(full.doc_id)
+
+
+def test_curate_checkpoint_zero_survivors(ray_session, tmp_path):
+    """A corpus the quality gate empties entirely must still commit a
+    readable checkpoint (explicit empty parquet file) and resume to the
+    same zero-row survivor set with the raw input gone."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_logagent_ray.pipelines.curation import stage2_survivors
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(["tiny doc"] * 6, pa.string())})
+    pq.write_table(t, str(sf / "documents.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    out = stage2_survivors(str(sf), checkpoint_dir=ckpt)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "text"}
+
+    shutil.rmtree(sf)  # resume may only touch the checkpoint
+    resumed = stage2_survivors(str(sf), checkpoint_dir=ckpt)
+    assert resumed.count() == 0
+    assert set(resumed.schema().names) == {"doc_id", "text"}
