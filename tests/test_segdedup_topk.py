@@ -72,6 +72,37 @@ def test_segment_dedup_every_distinct_segment_survives_once(ray_session):
     assert int(out.n_segs.sum()) == len(all_segs)
 
 
+def test_segment_dedup_sharded_fallback_matches_broadcast(ray_session):
+    """Force the broadcast budget to 0 so the doc-sharded co-group
+    fallback runs (the 100 TB regime where the keeper position table
+    exceeds the broadcast budget) — must agree EXACTLY with the
+    broadcast path in BOTH modes, including whole-doc duplicates, a
+    shifted duplicate, empty and null text, and multi-block input
+    (the same forced-budget shape as test_bpe's SIDE_COL fallback)."""
+    from go_logagent_ray.stages.segdedup import segment_dedup
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 40))))
+            for i in range(150)]
+    rows[30] = (30, rows[3][1])              # whole-doc duplicate
+    rows[31] = (31, "pfx " + rows[4][1])     # shifted dup (CDC catches)
+    rows += [(900, ""), (901, ""), (902, None)]
+    ds = _docs(rows).repartition(5)
+    for mode in ("aligned", "cdc"):
+        bcast = segment_dedup(ds, size=4, mode=mode).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        shard = segment_dedup(ds, size=4, mode=mode,
+                              broadcast_limit_bytes=0,
+                              keeper_shards=7).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert bcast.doc_id.tolist() == shard.doc_id.tolist(), mode
+        assert bcast.text.tolist() == shard.text.tolist(), mode
+        assert bcast.n_segs.tolist() == shard.n_segs.tolist(), mode
+        assert bcast.n_kept.tolist() == shard.n_kept.tolist(), mode
+        assert (bcast.n_kept < bcast.n_segs).any(), mode  # dups dropped
+
+
 def test_chunk_explode_deep_batch_path_matches_loop_semantics():
     """chunk_batch_fn switches to a token-explode plan for deep
     non-overlapping batches (> 16 chunks/doc); it must be row-identical
