@@ -17,7 +17,10 @@ dict compiles to a chain of Dataset transforms:
 
 New stage = ``@register_stage("name")`` on a factory returning either a
 callable (stateless tasks) or a class + ctor kwargs (actor pool when
-``concurrency`` is set in the config part).
+``concurrency`` is set in the config part). Shuffle-bearing stages that
+the per-batch protocol can't express (multiline join, throttle — both
+need a groupby) return a ``DatasetStage`` wrapping a Dataset→Dataset
+transform instead; ``transform`` dispatches on the wrapper.
 """
 
 from __future__ import annotations
@@ -34,6 +37,17 @@ from .stages.route import RouteStage
 STAGE_REGISTRY: dict[str, Callable[[dict], tuple]] = {}
 
 _MAP_OPTS = ("batch_size", "concurrency", "num_cpus")
+
+
+class DatasetStage:
+    """A whole-Dataset transform in the filter chain — for stages whose
+    semantics need a shuffle (groupby) and therefore can't be one
+    ``map_batches`` call. ``_MAP_OPTS`` don't apply (the stage owns its
+    own execution shape); config parts carrying them raise loudly in
+    ``from_config`` rather than being silently ignored."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
 
 
 def register_stage(name: str):
@@ -174,6 +188,30 @@ def _repetition(conf: dict):
     return rep, {}
 
 
+@register_stage("multiline")
+def _multiline(conf: dict):
+    """Multiline codec (F6) — logstash-family stack-trace joiner; one
+    groupby(key) shuffle, per-group work bounded by the conversation."""
+    from .stages.filters import multiline_join
+
+    kw = dict(key=conf["key"], order=conf["order"],
+              text_field=conf.get("field", "text"),
+              pattern=conf.get("pattern", r"^\s"),
+              out_group=conf.get("out_group", "event_grp"))
+    return DatasetStage(lambda ds: multiline_join(ds, **kw)), {}
+
+
+@register_stage("throttle")
+def _throttle(conf: dict):
+    """Rate-limit filter (F7) — first max_per_key rows per key by
+    ascending order; per-batch combiner bounds the shuffle."""
+    from .stages.filters import throttle
+
+    kw = dict(key_cols=list(conf["key_cols"]), order=conf["order"],
+              max_per_key=int(conf["max_per_key"]))
+    return DatasetStage(lambda ds: throttle(ds, **kw)), {}
+
+
 @register_stage("sample")
 def _sample(conf: dict):
     """Deterministic keep-percent filter (reproducible sampling)."""
@@ -204,12 +242,20 @@ class Pipeline:
                                f"{sorted(STAGE_REGISTRY)}")
             fn_or_cls, kwargs = STAGE_REGISTRY[typ](part)
             opts = {k: part[k] for k in _MAP_OPTS if k in part}
+            if isinstance(fn_or_cls, DatasetStage) and opts:
+                raise ValueError(
+                    f"stage {typ!r} is a whole-Dataset transform; "
+                    f"{sorted(opts)} do not apply (it owns its own "
+                    "execution shape)")
             specs.append((fn_or_cls, kwargs, opts))
         return cls(config.get("input"), specs, config.get("outputs", []), config)
 
     def transform(self, ds):
         """Apply the filter chain to a Dataset (lazy)."""
         for fn_or_cls, kwargs, opts in self.stage_specs:
+            if isinstance(fn_or_cls, DatasetStage):
+                ds = fn_or_cls.fn(ds)
+                continue
             mb = dict(batch_format="pyarrow", zero_copy_batch=True)
             mb.update(opts)
             if isinstance(fn_or_cls, type) and "concurrency" in mb:

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -47,12 +46,21 @@ def rebuild_conversations(ds: Dataset, *, conv_col: str = "conv_id",
     ALL null gets null ``n_chars``/``text_md5`` (string_agg -> NULL)."""
 
     def one(group: pa.Table) -> pa.Table:
-        order = np.argsort(
-            np.asarray(group.column(order_col)), kind="stable")
-        texts = group.column(text_col).to_pylist()
-        present = [texts[i] for i in order if texts[i] is not None]
-        if present:
-            joined = sep.join(present)
+        import polars as pl
+
+        # vectorized stable sort + join (the multiline_join pattern) —
+        # no per-row Python; md5 runs ONCE on the single joined string.
+        # Cast guards all-null blocks arriving as Null dtype;
+        # ignore_nulls pinned so null turns join to '' (string_agg
+        # parity) with the all-null case restored to NULL below.
+        df = pl.from_arrow(group.select([order_col, text_col])) \
+            .with_columns(pl.col(text_col).cast(pl.Utf8)) \
+            .sort(order_col, maintain_order=True)
+        agg = df.select(
+            pl.col(text_col).str.join(sep, ignore_nulls=True).alias("_j"),
+            pl.col(text_col).is_not_null().any().alias("_p"))
+        if bool(agg["_p"][0]):
+            joined = agg["_j"][0]
             n_chars, md5 = len(joined), hashlib.md5(
                 joined.encode("utf-8")).hexdigest()
         else:

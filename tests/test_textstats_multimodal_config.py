@@ -225,6 +225,50 @@ def test_config_round3_stages_pii_chunk_sample_decontaminate():
     assert 4 not in set(chunks.doc_id)  # null text emits nothing
 
 
+def test_config_multiline_and_throttle_stages(ray_session):
+    """The two §2 filters added in r4 compose through the config
+    registry (X1 parity): a multiline codec chained into a throttle,
+    both whole-Dataset stages dispatched via DatasetStage."""
+    import pytest
+
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"conv": "a", "line_no": 1, "text": "ERROR boom"},
+            {"conv": "a", "line_no": 2, "text": "  at frame one"},
+            {"conv": "a", "line_no": 3, "text": "  at frame two"},
+            {"conv": "a", "line_no": 4, "text": "ERROR second"},
+            {"conv": "a", "line_no": 5, "text": "ERROR third"},
+            {"conv": "b", "line_no": 1, "text": "  orphan continuation"},
+            {"conv": "b", "line_no": 2, "text": "ERROR other"},
+        ]},
+        "filters": [
+            {"type": "multiline", "key": "conv", "order": "line_no"},
+            # keep at most 2 joined events per conversation
+            {"type": "throttle", "key_cols": ["conv"],
+             "order": "event_idx", "max_per_key": 2},
+        ],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    out = p.transform(p.read()).to_pandas() \
+        .sort_values(["conv", "event_idx"]).reset_index(drop=True)
+    a = out[out.conv == "a"]
+    assert len(a) == 2  # third joined event throttled away
+    assert a.text.tolist() == ["ERROR boom\n  at frame one\n  at frame two",
+                               "ERROR second"]
+    b = out[out.conv == "b"]
+    assert b.event_grp.tolist() == [0, 1]  # leading orphan = group 0
+    assert b.text.tolist() == ["  orphan continuation", "ERROR other"]
+
+    # map_batches options don't apply to whole-Dataset stages — loudly
+    with pytest.raises(ValueError, match="whole-Dataset"):
+        Pipeline.from_config({"filters": [
+            {"type": "throttle", "key_cols": ["conv"], "order": "line_no",
+             "max_per_key": 1, "concurrency": 4}]})
+
+
 def test_repetition_stats():
     from go_logagent_ray.functions.textstats import repetition_stats
 
