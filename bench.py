@@ -162,6 +162,9 @@ def bench_queries() -> dict[str, float]:
         "cdc_dedup_docs",         # content-defined-chunk dedup (r4)
         "bpe_merges_docs",        # distributed BPE merge learning (r3)
         "quality_threshold_docs",  # corpus-quantile quality gate (r3)
+        "multiline_events",       # multiline codec grouped join (r4)
+        "throttle_events",        # rate-limit combiner + merge (r4)
+        "curate_docs_v2",         # curation incl. near-dup stage (r5)
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -55,3 +55,14 @@ def md5_number_lower(strings, *, assume_unique: bool = False) -> np.ndarray:
         return np.array([h(t) for t in arr], dtype=np.uint64)
     uniq, inv = np.unique(arr, return_inverse=True)
     return np.array([h(t) for t in uniq], dtype=np.uint64)[inv]
+
+
+def mix_shard_i64(ids: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard id for an int64 id array: multiplicative mix (Fibonacci
+    hashing) then mod, so sequential or strided id spaces still spread
+    evenly across shards. Shared by every doc-sharded co-group fallback
+    (segment dedup, id anti-join) — both sides of a co-group MUST use
+    THIS function or their shards never meet."""
+    mixed = (ids.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (mixed % np.uint64(max(1, n_shards))).astype(np.int32)

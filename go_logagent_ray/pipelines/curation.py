@@ -74,32 +74,87 @@ def quality_gate(batch: pa.Table) -> pa.Table:
     return batch.filter(keep)
 
 
-def _stage2_checkpoint_load(checkpoint_dir: str, cfg: str):
-    """The checkpointed survivor Dataset, or None if the checkpoint is
-    absent, stale (config mismatch), or DAMAGED — a partially deleted /
-    truncated stage2 directory under an intact manifest must fall
-    through to recompute, never resume silently with fewer rows, so the
-    read-back row count is compared to the manifest's recorded count
-    (parquet footers only — no data scan)."""
+def _load_committed(mpath: str, data_dir: str, cfg: str):
+    """The committed Dataset at a stage boundary, or None if the
+    checkpoint is absent, stale (config mismatch), or DAMAGED — a
+    partially deleted / truncated data directory under an intact
+    manifest must fall through to recompute, never resume silently
+    with fewer rows, so the read-back row count is compared to the
+    manifest's recorded count (parquet footers only — no data scan)."""
     import json
 
     import ray.data as rd
 
-    mpath = os.path.join(checkpoint_dir, "_stage2_manifest.json")
     if not os.path.isfile(mpath):
         return None
     with open(mpath) as f:
         m = json.load(f)
-    if m.get("config_hash") != cfg or \
-            not os.path.isdir(os.path.join(checkpoint_dir, "stage2")):
+    if m.get("config_hash") != cfg or not os.path.isdir(data_dir):
         return None
     try:
-        out = rd.read_parquet(os.path.join(checkpoint_dir, "stage2"))
+        out = rd.read_parquet(data_dir)
         n = out.count()
     except Exception:
         return None  # unreadable/empty dir — recompute
     if n != m.get("rows"):
         return None
+    return out
+
+
+def checkpoint_dataset(build, *, checkpoint_dir: str, name: str,
+                       spec: dict, schema_fallback=None) -> Dataset:
+    """THE stage-boundary commit protocol, shared by every checkpointed
+    multi-consumer boundary (curation stage 2, the lm_bucket scored
+    table): a valid manifest (config hash + row count verified against
+    the data read back) skips ``build()`` entirely; otherwise the built
+    Dataset is written to a multi-file parquet staging dir and
+    committed atomically — tmp dir + rename, OLD manifest removed
+    BEFORE the data replace (a kill in the window must leave "no
+    checkpoint", never "old manifest + new data"), new manifest written
+    last via the same tmp+rename as ``state/checkpoint.py``.
+
+    ``schema_fallback``: zero-argument callable returning a ray Schema,
+    used when a zero-row build reports ``schema() is None`` — the
+    empty commit still writes one explicit parquet file carrying the
+    schema so the checkpoint stays readable."""
+    import shutil
+
+    import ray.data as rd
+
+    cfg = config_hash(spec)
+    mpath = os.path.join(checkpoint_dir, f"_{name}_manifest.json")
+    final = os.path.join(checkpoint_dir, name)
+    cached = _load_committed(mpath, final, cfg)
+    if cached is not None:
+        return cached
+
+    d = build()
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    staging = os.path.join(checkpoint_dir, f".tmp-{name}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # leftover from a killed run — redo
+    d.write_parquet(staging)
+    os.makedirs(staging, exist_ok=True)  # zero-row write may skip mkdir
+    if not any(os.scandir(staging)):
+        # zero-row run: write_parquet of an empty Dataset leaves no
+        # files, and a later read_parquet of the bare directory fails —
+        # commit one explicit empty file carrying the schema
+        import pyarrow.parquet as pq
+
+        sch = d.schema()
+        if sch is None and schema_fallback is not None:
+            sch = schema_fallback()
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
+        pq.write_table(empty, os.path.join(staging, "empty.parquet"))
+    if os.path.isfile(mpath):
+        os.remove(mpath)
+    if os.path.isdir(final):
+        shutil.rmtree(final)  # stale commit under an older config
+    os.replace(staging, final)
+    out = rd.read_parquet(final)
+    _atomic_write_json(
+        mpath, {"config_hash": cfg, "rows": out.count(), "spec": spec})
     return out
 
 
@@ -112,59 +167,25 @@ def stage2_survivors(sf_dir: str, *,
     import ray.data as rd
 
     spec = dict(_SPEC, input=os.path.abspath(sf_dir))
-    cfg = config_hash(spec)
-    if checkpoint_dir is not None:
-        cached = _stage2_checkpoint_load(checkpoint_dir, cfg)
-        if cached is not None:
-            return cached
 
-    from ..stages.dedup import exact_dedup_broadcast
+    def build() -> Dataset:
+        from ..stages.dedup import exact_dedup_broadcast
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    q = ds.map_batches(quality_gate, batch_format="pyarrow",
-                       zero_copy_batch=True).materialize()
-    d = exact_dedup_broadcast(q)
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        q = ds.map_batches(quality_gate, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+        return exact_dedup_broadcast(q)
+
     if checkpoint_dir is None:
-        return d.materialize()
-
-    import shutil
-
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    staging = os.path.join(checkpoint_dir, ".tmp-stage2")
-    final = os.path.join(checkpoint_dir, "stage2")
-    mpath = os.path.join(checkpoint_dir, "_stage2_manifest.json")
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)  # leftover from a killed run — redo
-    d.write_parquet(staging)
-    os.makedirs(staging, exist_ok=True)  # zero-row write may skip the mkdir
-    if not any(os.scandir(staging)):
-        # zero-survivor run: write_parquet of an empty Dataset leaves no
-        # files, and a later read_parquet of the bare directory fails —
-        # commit one explicit empty file carrying the schema so the
-        # zero-row checkpoint resumes like any other
-        import pyarrow.parquet as pq
-
-        # a fully-empty Dataset can report schema() None — the dedup
-        # stage preserves the input columns, so the read's schema is
-        # authoritative
-        sch = d.schema() or ds.schema()
-        empty = pa.table(
-            {n: pa.array([], t) for n, t in zip(sch.names, sch.types)})
-        pq.write_table(empty, os.path.join(staging, "empty.parquet"))
-    # invalidate any OLD manifest before touching the data dir: a kill
-    # between the data replace and the new manifest write must leave
-    # "no checkpoint", never "old manifest + new data" (a later resume
-    # under the old config would silently read the wrong survivor set)
-    if os.path.isfile(mpath):
-        os.remove(mpath)
-    if os.path.isdir(final):
-        shutil.rmtree(final)  # stale commit under an older config
-    os.replace(staging, final)
-    out = rd.read_parquet(final)
-    _atomic_write_json(
-        mpath, {"config_hash": cfg, "rows": out.count(), "spec": spec})
-    return out
+        return build().materialize()
+    # the dedup stage preserves the input columns, so the raw read's
+    # schema is the authoritative fallback for a zero-survivor commit
+    return checkpoint_dataset(
+        build, checkpoint_dir=checkpoint_dir, name="stage2", spec=spec,
+        schema_fallback=lambda: rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"]).schema())
 
 
 def curate_stats(sf_dir: str, *, checkpoint_dir: str | None = None,
@@ -173,16 +194,69 @@ def curate_stats(sf_dir: str, *, checkpoint_dir: str | None = None,
     n_chunk_words). ``fail_after_stage2`` simulates a job kill right
     AFTER the stage-2 checkpoint commits (test hook for the
     kill+resume contract)."""
+    d = stage2_survivors(sf_dir, checkpoint_dir=checkpoint_dir)
+    if fail_after_stage2:
+        raise RuntimeError(
+            "simulated kill after the stage-2 checkpoint commit")
+    return _decontaminate_chunk_stats(d)
+
+
+def curate_stats_v2(sf_dir: str, *, neardup_threshold: float = 0.7,
+                    checkpoint_dir: str | None = None) -> Dataset:
+    """The v2 composition a real training-data curation pass runs:
+    quality gate → exact dedup → **MinHash-LSH near-dup drop** →
+    decontamination → chunk → per-doc stats. Same output schema as
+    ``curate_stats``; the added stage drops the LARGER-id member of
+    every near-duplicate pair (trigram-Jaccard ≥ ``neardup_threshold``,
+    mined by ``stages.dedup.minhash_lsh_pairs`` — only signatures ever
+    shuffle) via the size-gated distributed anti-join
+    (``stages.dedup.anti_join_ids``: sorted-array broadcast under the
+    budget, doc-sharded co-group past it — no driver collect at any
+    scale).
+
+    The post-near-dup survivor set feeds TWO consumers (the
+    benchmark-gram build and the clean→chunk→aggregate lineage), so it
+    must not re-execute per consumer: with ``checkpoint_dir`` BOTH
+    multi-consumer boundaries (stage 2 and the near-dup survivor set)
+    commit through the shared ``checkpoint_dataset`` protocol — a
+    resumed run with the same config skips quality gate, exact dedup,
+    pair mining, AND the anti-join; without it the boundary
+    materializes in the object store."""
+    import ray.data as rd
+
+    from ..stages.dedup import anti_join_ids, minhash_lsh_pairs
+
+    def build() -> Dataset:
+        d = stage2_survivors(sf_dir, checkpoint_dir=checkpoint_dir)
+        pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
+        return anti_join_ids(d, pairs.select_columns(["doc_b"]),
+                             id_field="doc_id")
+
+    if checkpoint_dir is None:
+        s2 = build().materialize()
+    else:
+        spec = dict(_SPEC, stage="curate-neardup",
+                    threshold=neardup_threshold,
+                    input=os.path.abspath(sf_dir))
+        s2 = checkpoint_dataset(
+            build, checkpoint_dir=checkpoint_dir, name="neardup",
+            spec=spec,
+            schema_fallback=lambda: rd.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"]).schema())
+    return _decontaminate_chunk_stats(s2)
+
+
+def _decontaminate_chunk_stats(d: Dataset) -> Dataset:
+    """Shared curation tail: benchmark decontamination (grams built
+    from the survivor set, broadcast once) → 32/24 word chunking →
+    per-doc chunk stats (partial + combine grouped sums)."""
     import ray
     from ray.data.aggregate import Sum
 
     from ..stages.chunk import chunk_documents
     from ..stages.decontaminate import build_benchmark_grams
 
-    d = stage2_survivors(sf_dir, checkpoint_dir=checkpoint_dir)
-    if fail_after_stage2:
-        raise RuntimeError(
-            "simulated kill after the stage-2 checkpoint commit")
     gref = ray.put(build_benchmark_grams(d))
 
     def clean(batch: pa.Table) -> pa.Table:

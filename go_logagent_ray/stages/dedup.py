@@ -102,6 +102,99 @@ def exact_dedup_broadcast(ds: Dataset, text_field: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def anti_join_ids(ds: Dataset, ids: Dataset, *, id_field: str = "doc_id",
+                  ids_field: str | None = None,
+                  broadcast_limit_bytes: int = 8 << 30,
+                  shards: int = 64) -> Dataset:
+    """Drop every row of ``ds`` whose ``id_field`` (int64) appears in
+    ``ids`` (a Dataset; ``ids_field`` defaults to its single column) —
+    the distributed anti-join every "drop this id set" stage needs
+    (near-dup drop lists, revocation lists, blocklists).
+
+    Size gate, same discipline as ``segment_dedup``: the id set is
+    broadcast while the MATERIALIZED ids Dataset is ≤
+    ``broadcast_limit_bytes`` (one sorted int64 array, 8 B per distinct
+    id, vectorized membership per batch — ~1 G ids at the 8 GB
+    default). Past the budget the SIDE_COL co-group fallback runs:
+    rows and drop-ids shard by ``mix(id) % shards``
+    (``functions.hashing.mix_shard_i64`` on both sides), one
+    ``groupby(_shard)`` co-locates each shard, and rows filter against
+    exactly their shard's id slice — full rows move through that one
+    shuffle (same volume as any repartition), ids move at 8 B each,
+    nothing is ever collected on the driver. Forced-zero-budget parity
+    test pins the two paths identical."""
+    import ray
+
+    from ..functions.cogroup import SIDE_COL, pad_to_schema, split_sides
+
+    idf = ids_field
+    if idf is None:
+        names = ids.schema().names
+        if len(names) != 1:
+            raise ValueError(
+                f"ids Dataset has columns {names}; pass ids_field")
+        idf = names[0]
+    ids = ids.select_columns([idf]).materialize()
+
+    if ids.size_bytes() <= broadcast_limit_bytes:
+        parts = [b.column(idf).to_numpy(zero_copy_only=False)
+                 for b in ids.iter_batches(batch_format="pyarrow")]
+        drop = np.unique(np.concatenate(parts)).astype(np.int64) \
+            if parts else np.zeros(0, np.int64)
+        ref = ray.put(drop)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            if len(d) == 0 or batch.num_rows == 0:
+                return batch
+            vals = as_combined(batch[id_field]).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(d, vals).clip(max=len(d) - 1)
+            return batch.filter(pa.array(d[pos] != vals))
+
+        return ds.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # ---- sharded co-group fallback (no driver collect at any scale)
+    from ..functions.hashing import mix_shard_i64
+
+    sch = ds.schema()
+    union_types = dict(zip(sch.names, sch.types))
+    union_types["_did"] = pa.int64()
+    union_types["_shard"] = pa.int32()
+
+    def row_side(batch: pa.Table) -> pa.Table:
+        vals = as_combined(batch[id_field]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cols = {n: batch[n].combine_chunks() for n in batch.column_names}
+        cols["_shard"] = pa.array(mix_shard_i64(vals, shards))
+        return pad_to_schema(cols, union_types, batch.num_rows, 0)
+
+    def id_side(batch: pa.Table) -> pa.Table:
+        vals = as_combined(batch[idf]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cols = {"_did": pa.array(vals, pa.int64()),
+                "_shard": pa.array(mix_shard_i64(vals, shards))}
+        return pad_to_schema(cols, union_types, batch.num_rows, 1)
+
+    both = ds.map_batches(row_side, batch_format="pyarrow").union(
+        ids.map_batches(id_side, batch_format="pyarrow"))
+
+    def filter_shard(g: pa.Table) -> pa.Table:
+        rows, drops = split_sides(g)
+        rows = rows.select(sch.names)
+        if rows.num_rows == 0 or drops.num_rows == 0:
+            return rows
+        d = np.unique(drops["_did"].to_numpy(zero_copy_only=False))
+        vals = as_combined(rows[id_field]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(d, vals).clip(max=len(d) - 1)
+        return rows.filter(pa.array(d[pos] != vals))
+
+    return both.groupby("_shard").map_groups(filter_shard,
+                                             batch_format="pyarrow")
+
+
 def distinct_count(ds: Dataset, text_field: str = "text") -> int:
     """COUNT(DISTINCT text) via hash partials — no full-text shuffle."""
     def partial(batch: pa.Table) -> pa.Table:

@@ -275,11 +275,9 @@ def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
     n_shards = max(1, int(keeper_shards))
 
     def _shard_of_ids(ids: np.ndarray) -> pa.Array:
-        # multiplicative mix (Fibonacci hashing) so sequential or
-        # strided id spaces still spread evenly across shards
-        mixed = (ids.astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((mixed % np.uint64(n_shards)).astype(np.int32))
+        from ..functions.hashing import mix_shard_i64
+
+        return pa.array(mix_shard_i64(ids, n_shards))
 
     def doc_side(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -576,3 +576,42 @@ def test_exact_dedup_is_raw_text_identity(ray_session):
     assert distinct_count(ds) == 3
     fp = fingerprint(t)["fp64"].to_pylist()
     assert fp[0] == fp[1] == fp[2]    # normalized op still merges them
+
+
+def test_anti_join_ids_sharded_fallback_matches_broadcast(ray_session):
+    """anti_join_ids: force the broadcast budget to 0 so the SIDE_COL
+    co-group fallback runs — must agree exactly with the broadcast
+    path (drop set applied, all columns preserved, duplicate drop-ids
+    harmless, empty drop set is the identity)."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.dedup import anti_join_ids
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(200)), pa.int64()),
+        "text": pa.array([f"doc {i}" if i % 7 else None
+                          for i in range(200)], pa.string()),
+        "score": pa.array([i * 0.5 for i in range(200)], pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    # duplicated + out-of-range drop ids exercise uniqueness + misses
+    drop = rd.from_arrow(pa.table(
+        {"doc_b": pa.array([3, 3, 17, 42, 42, 99, 170, 9999], pa.int64())}))
+
+    def norm(out):
+        df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df
+
+    bcast = norm(anti_join_ids(ds, drop, id_field="doc_id"))
+    shard = norm(anti_join_ids(ds, drop, id_field="doc_id",
+                               broadcast_limit_bytes=0, shards=5))
+    assert bcast.doc_id.tolist() == shard.doc_id.tolist()
+    assert bcast.text.tolist() == shard.text.tolist()
+    assert bcast.score.tolist() == shard.score.tolist()
+    assert len(bcast) == 200 - 5  # five real ids dropped, 9999 missed
+    assert set(bcast.doc_id) & {3, 17, 42, 99, 170} == set()
+
+    empty = rd.from_arrow(pa.table({"doc_b": pa.array([], pa.int64())}))
+    assert len(norm(anti_join_ids(ds, empty))) == 200
+    assert len(norm(anti_join_ids(ds, empty,
+                                  broadcast_limit_bytes=0))) == 200
