@@ -229,8 +229,12 @@ def curate_stats_v2(sf_dir: str, *, neardup_threshold: float = 0.7,
     def build() -> Dataset:
         d = stage2_survivors(sf_dir, checkpoint_dir=checkpoint_dir)
         pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
+        # ids_field passed EXPLICITLY: a lazy select_columns projection
+        # can still report the parent's schema (Ray 2.49, pandas-block
+        # lineage with empty blocks), so single-column inference on the
+        # unexecuted Dataset is not reliable here
         return anti_join_ids(d, pairs.select_columns(["doc_b"]),
-                             id_field="doc_id")
+                             id_field="doc_id", ids_field="doc_b")
 
     if checkpoint_dir is None:
         s2 = build().materialize()

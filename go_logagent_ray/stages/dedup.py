@@ -129,6 +129,10 @@ def anti_join_ids(ds: Dataset, ids: Dataset, *, id_field: str = "doc_id",
 
     idf = ids_field
     if idf is None:
+        # inference caveat: schema() on an UNEXECUTED projection can
+        # still report the parent's columns (Ray 2.49, pandas-block
+        # lineage holding empty blocks) — callers handing in a lazy
+        # select_columns must pass ids_field explicitly
         names = ids.schema().names
         if len(names) != 1:
             raise ValueError(
