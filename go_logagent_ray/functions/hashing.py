@@ -66,3 +66,14 @@ def mix_shard_i64(ids: np.ndarray, n_shards: int) -> np.ndarray:
     mixed = (ids.astype(np.uint64)
              * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
     return (mixed % np.uint64(max(1, n_shards))).astype(np.int32)
+
+
+def in_sorted_i64(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized ``vals ∈ sorted_arr`` membership for int64 arrays —
+    THE shared idiom behind every broadcast keeper/drop set
+    (searchsorted + clip + equality); empty set → all-False. Fixes to
+    the boundary handling belong HERE, not at call sites."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals).clip(max=len(sorted_arr) - 1)
+    return sorted_arr[pos] == vals

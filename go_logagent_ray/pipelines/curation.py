@@ -58,6 +58,12 @@ _SPEC = {
     "version": 1,
 }
 
+# MinHash pair-mining parameters for the v2 near-dup stage — part of
+# the neardup checkpoint's config hash AND the values actually passed
+# to minhash_lsh_pairs (one source of truth; library defaults changing
+# must not silently revalidate old commits)
+_NEARDUP_MINING = {"num_perm": 64, "bands": 16, "ngram": 3}
+
 
 def quality_gate(batch: pa.Table) -> pa.Table:
     """Stage 1: keep docs with ≥ _SPEC['min_toks'] tokens and duplicate
@@ -228,7 +234,14 @@ def curate_stats_v2(sf_dir: str, *, neardup_threshold: float = 0.7,
 
     def build() -> Dataset:
         d = stage2_survivors(sf_dir, checkpoint_dir=checkpoint_dir)
-        pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
+        # mining params passed FROM the spec constants below, so the
+        # checkpoint config hash derives from the real pair-mining
+        # definition (a bands/num_perm/ngram change must invalidate
+        # old survivor commits — same rule as _SPEC)
+        pairs = minhash_lsh_pairs(d, threshold=neardup_threshold,
+                                  num_perm=_NEARDUP_MINING["num_perm"],
+                                  bands=_NEARDUP_MINING["bands"],
+                                  ngram=_NEARDUP_MINING["ngram"])
         # ids_field passed EXPLICITLY: a lazy select_columns projection
         # can still report the parent's schema (Ray 2.49, pandas-block
         # lineage with empty blocks), so single-column inference on the
@@ -240,7 +253,7 @@ def curate_stats_v2(sf_dir: str, *, neardup_threshold: float = 0.7,
         s2 = build().materialize()
     else:
         spec = dict(_SPEC, stage="curate-neardup",
-                    threshold=neardup_threshold,
+                    threshold=neardup_threshold, **_NEARDUP_MINING,
                     input=os.path.abspath(sf_dir))
         s2 = checkpoint_dataset(
             build, checkpoint_dir=checkpoint_dir, name="neardup",

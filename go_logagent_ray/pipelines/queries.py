@@ -1434,6 +1434,12 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# the lm_bucket score definition — single source of truth for the
+# integer-score constants and the scored-table checkpoint's config hash
+_LM_SCORE_SPEC = {"stage": "lm-score", "vocab_size": 16, "oov_rank": 17,
+                  "scale": 1_000_000, "quant": 1_000, "version": 1}
+
+
 def q_lm_bucket_docs(sf_dir: str):
     """CCNet head/middle/tail corpus split (Wenzek et al. 2020 —
     the public shape: score every doc with the LM, bucket the corpus
@@ -1472,20 +1478,26 @@ def lm_bucket_docs(sf_dir: str, *, checkpoint_dir: str | None = None,
 
     from ..stages.lm import unigram_rank_score
 
+    # the score constants AND the checkpoint config hash both derive
+    # from THIS dict (a constant change must invalidate old commits —
+    # a duplicated literal could silently go stale; curation._SPEC rule)
+    lm_spec = _LM_SCORE_SPEC
+
     def add_score(batch: pa.Table) -> pa.Table:
         nt = as_combined(batch["n_toks"]).to_numpy(zero_copy_only=False)
         m = nt > 0
         sr = as_combined(batch["sum_rank"]).to_numpy(
             zero_copy_only=False)[m]
         no = as_combined(batch["n_oov"]).to_numpy(zero_copy_only=False)[m]
-        sq = ((sr + 17 * no) * 1_000_000 // nt[m]) // 1_000
+        sq = ((sr + lm_spec["oov_rank"] * no) * lm_spec["scale"]
+              // nt[m]) // lm_spec["quant"]
         return pa.table({
             "doc_id": as_combined(batch["doc_id"]).filter(pa.array(m)),
             "score_q": pa.array(sq.astype(np.int64), pa.int64())})
 
     def build():
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
-        comp = unigram_rank_score(ds, vocab_size=16)
+        comp = unigram_rank_score(ds, vocab_size=lm_spec["vocab_size"])
         return comp.map_batches(add_score, batch_format="pyarrow")
 
     if checkpoint_dir is None:
@@ -1493,9 +1505,7 @@ def lm_bucket_docs(sf_dir: str, *, checkpoint_dir: str | None = None,
     else:
         from .curation import checkpoint_dataset
 
-        spec = {"stage": "lm-score", "vocab_size": 16,
-                "oov_rank": 17, "scale": 1_000_000, "quant": 1_000,
-                "version": 1, "input": os.path.abspath(sf_dir)}
+        spec = dict(lm_spec, input=os.path.abspath(sf_dir))
         scored = checkpoint_dataset(
             build, checkpoint_dir=checkpoint_dir, name="lm_scored",
             spec=spec,

@@ -92,12 +92,13 @@ def exact_dedup_broadcast(ds: Dataset, text_field: str = "text",
     ref = ray.put(keep_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import in_sorted_i64
+
         keepers = ray.get(ref)
         if len(keepers) == 0:
             return batch.slice(0, 0)
         ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keepers, ids).clip(max=len(keepers) - 1)
-        return batch.filter(pa.array(keepers[pos] == ids))
+        return batch.filter(pa.array(in_sorted_i64(keepers, ids)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -148,13 +149,14 @@ def anti_join_ids(ds: Dataset, ids: Dataset, *, id_field: str = "doc_id",
         ref = ray.put(drop)
 
         def keep(batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import in_sorted_i64
+
             d = ray.get(ref)
             if len(d) == 0 or batch.num_rows == 0:
                 return batch
             vals = as_combined(batch[id_field]).to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(d, vals).clip(max=len(d) - 1)
-            return batch.filter(pa.array(d[pos] != vals))
+            return batch.filter(pa.array(~in_sorted_i64(d, vals)))
 
         return ds.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -163,6 +165,11 @@ def anti_join_ids(ds: Dataset, ids: Dataset, *, id_field: str = "doc_id",
     from ..functions.hashing import mix_shard_i64
 
     sch = ds.schema()
+    clash = {"_did", "_shard", SIDE_COL} & set(sch.names)
+    if clash:
+        raise ValueError(
+            f"anti_join_ids reserves columns {sorted(clash)} for its "
+            "sharded co-group; rename them on the input first")
     union_types = dict(zip(sch.names, sch.types))
     union_types["_did"] = pa.int64()
     union_types["_shard"] = pa.int32()
@@ -189,11 +196,12 @@ def anti_join_ids(ds: Dataset, ids: Dataset, *, id_field: str = "doc_id",
         rows = rows.select(sch.names)
         if rows.num_rows == 0 or drops.num_rows == 0:
             return rows
+        from ..functions.hashing import in_sorted_i64
+
         d = np.unique(drops["_did"].to_numpy(zero_copy_only=False))
         vals = as_combined(rows[id_field]).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(d, vals).clip(max=len(d) - 1)
-        return rows.filter(pa.array(d[pos] != vals))
+        return rows.filter(pa.array(~in_sorted_i64(d, vals)))
 
     return both.groupby("_shard").map_groups(filter_shard,
                                              batch_format="pyarrow")
@@ -965,11 +973,12 @@ def ngram_jaccard_pairs_lsh(
         """(id % shards, id, sorted-unique gram list) for CANDIDATE docs
         only — membership via vectorized searchsorted on the broadcast
         id array."""
+        from ..functions.hashing import in_sorted_i64
+
         keep_ids = ray.get(ref)
         ids = as_combined(batch[id_field]).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        pos = np.searchsorted(keep_ids, ids).clip(max=len(keep_ids) - 1)
-        m = keep_ids[pos] == ids
+        m = in_sorted_i64(keep_ids, ids)
         ids = ids[m]
         texts = as_combined(batch[text_field]).filter(pa.array(m)).to_pylist()
         glists = [sorted(set(_ngram_strings(t or "", ngram))) for t in texts]

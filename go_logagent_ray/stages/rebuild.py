@@ -53,9 +53,12 @@ def rebuild_conversations(ds: Dataset, *, conv_col: str = "conv_id",
         # Cast guards all-null blocks arriving as Null dtype;
         # ignore_nulls pinned so null turns join to '' (string_agg
         # parity) with the all-null case restored to NULL below.
+        # nulls_last pinned: polars sorts nulls FIRST by default where
+        # numpy argsort and DuckDB `ORDER BY` put them LAST — a null
+        # order key must not move its text to the front of the digest.
         df = pl.from_arrow(group.select([order_col, text_col])) \
             .with_columns(pl.col(text_col).cast(pl.Utf8)) \
-            .sort(order_col, maintain_order=True)
+            .sort(order_col, nulls_last=True, maintain_order=True)
         agg = df.select(
             pl.col(text_col).str.join(sep, ignore_nulls=True).alias("_j"),
             pl.col(text_col).is_not_null().any().alias("_p"))

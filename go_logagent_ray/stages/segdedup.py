@@ -200,11 +200,11 @@ def _rebuild(segs: pa.Table, keep: np.ndarray, id_field: str,
 
 
 def _kept_membership(kept_sorted: np.ndarray, pk: np.ndarray) -> np.ndarray:
-    """Vectorized ``pk ∈ kept_sorted`` (sorted-membership test)."""
-    if len(kept_sorted) == 0:
-        return np.zeros(len(pk), dtype=bool)
-    pos = np.searchsorted(kept_sorted, pk).clip(max=len(kept_sorted) - 1)
-    return kept_sorted[pos] == pk
+    """Vectorized ``pk ∈ kept_sorted`` — the shared sorted-membership
+    idiom (one definition for all broadcast keeper/drop sets)."""
+    from ..functions.hashing import in_sorted_i64
+
+    return in_sorted_i64(kept_sorted, pk)
 
 
 def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
@@ -242,7 +242,10 @@ def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
                               id_field=id_field, mode=mode,
                               token_hash=token_hash).materialize()
 
-    if keep_ds.size_bytes() <= broadcast_limit_bytes:
+    # gate on what the broadcast actually carries — 8 B per keeper (the
+    # _pk array alone), not the 16 B/row (_fp, _pk) Dataset; count() is
+    # metadata on the materialized keepers
+    if keep_ds.count() * 8 <= broadcast_limit_bytes:
         # broadcast regime: ONE sorted int64 array of keeper positions
         # (8 B per distinct segment), Arrow batches → numpy, never
         # Python row-dicts
@@ -267,6 +270,10 @@ def segment_dedup(ds: Dataset, *, size: int = SEG_SIZE,
     # by mix(doc_id) % keeper_shards — no driver collect at any scale
     from ..functions.cogroup import SIDE_COL, pad_to_schema, split_sides
 
+    if {id_field, text_field} & {"_kpk", "_shard", SIDE_COL}:
+        raise ValueError(
+            "segment_dedup reserves _kpk/_shard/_side for its sharded "
+            "co-group; rename the id/text fields first")
     sch = ds.schema()  # ray.data Schema wrapper, not pyarrow
     types = dict(zip(sch.names, sch.types))
     union_types = {id_field: types[id_field],

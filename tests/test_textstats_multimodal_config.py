@@ -331,6 +331,16 @@ def test_rebuild_conversations(ray_session):
     assert out3.loc["n1", "n_turns"] == 3
     assert out3.loc["n1", "text_md5"] == hashlib.md5(b"a\nb").hexdigest()
     assert pd_isna(out3.loc["n2", "text_md5"])
+    # null ORDER key sorts LAST (numpy-argsort + DuckDB ORDER BY
+    # convention; polars would default it FIRST — r5 review regression)
+    rows_nullkey = [
+        {"conv_id": "k1", "turn_idx": None, "text": "X"},
+        {"conv_id": "k1", "turn_idx": 1, "text": "A"},
+        {"conv_id": "k1", "turn_idx": 0, "text": "B"},
+    ]
+    out4 = (rebuild_conversations(rd.from_items(rows_nullkey))
+            .to_pandas().set_index("conv_id"))
+    assert out4.loc["k1", "text_md5"] == hashlib.md5(b"B\nA\nX").hexdigest()
 
 
 def test_unigram_rank_score(ray_session):
