@@ -615,3 +615,28 @@ def test_anti_join_ids_sharded_fallback_matches_broadcast(ray_session):
     assert len(norm(anti_join_ids(ds, empty))) == 200
     assert len(norm(anti_join_ids(ds, empty,
                                   broadcast_limit_bytes=0))) == 200
+
+
+def test_in_sorted_i64_matches_python_set():
+    """Property test for the ONE shared sorted-membership kernel every
+    broadcast keeper/drop set rides on (negatives, duplicates, boundary
+    values, empty sets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_logagent_ray.functions.hashing import in_sorted_i64
+
+    i64 = st.integers(min_value=-(2**62), max_value=2**62)
+
+    @settings(max_examples=300, deadline=None)
+    @given(members=st.lists(i64, max_size=50),
+           probes=st.lists(i64, max_size=80))
+    def check(members, probes):
+        s = np.sort(np.unique(np.array(members, dtype=np.int64))) \
+            if members else np.zeros(0, np.int64)
+        vals = np.array(probes, dtype=np.int64)
+        got = in_sorted_i64(s, vals)
+        want = np.array([p in set(members) for p in probes], dtype=bool)
+        assert got.tolist() == want.tolist()
+
+    check()
