@@ -180,7 +180,8 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
     return ds.groupby(key).map_groups(per_conv, batch_format="pyarrow")
 
 
-def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int):
+def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
+             merge_shards: int = 64):
     """Rate-limit filter — the logstash-family ``throttle`` plugin as a
     deterministic batch operator: keep only the FIRST ``max_per_key``
     rows per key (ascending ``order``), e.g. at most N events per
@@ -190,24 +191,40 @@ def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int):
 
     Scale shape (the grouped_topk combiner, ascending): each batch
     first reduces to ≤ max_per_key rows per key it contains, so the
-    shuffle moves ≤ k × blocks rows per key, never the corpus; the
-    per-group merge re-sorts ≤ k × blocks rows. Rows with a null key
-    or order value are dropped (documented ranking-over-non-null
-    semantics — SQL oracles must filter the same)."""
+    shuffle moves ≤ k × blocks rows per key, never the corpus. The
+    merge groupby runs on ``hash(key) % merge_shards`` — NOT the raw
+    key: one group per (user, hour) means millions of k-row groups
+    and Ray's per-group task overhead dominates (the minhash/asof
+    group-count lesson; measured ~2× at sf0.1 with 64 shards). The
+    per-key head inside a shard is one vectorized polars group_by.
+    Rows with a null key or order value are dropped (documented
+    ranking-over-non-null semantics — SQL oracles must filter the
+    same)."""
     import polars as pl
 
+    sch_names = ds.schema().names
+    if "_shard" in sch_names:
+        raise ValueError("throttle reserves the _shard column for its "
+                         "merge groupby; rename it on the input first")
     cols = list(key_cols) + [order]
+    n_shards = np.uint64(max(1, int(merge_shards)))
+
+    def head_per_key(df: "pl.DataFrame") -> "pl.DataFrame":
+        return (df.sort(order, maintain_order=True)
+                .group_by(key_cols, maintain_order=True)
+                .head(max_per_key))
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pl.from_arrow(batch).drop_nulls(cols)
-        return (df.sort(order)
-                .group_by(key_cols, maintain_order=True)
-                .head(max_per_key)).to_arrow()
+        df = head_per_key(pl.from_arrow(batch).drop_nulls(cols))
+        h = df.select(pl.struct(key_cols).hash(seed=0).alias("_h")) \
+            .get_column("_h").to_numpy()
+        return df.with_columns(pl.Series(
+            "_shard", (h % n_shards).astype(np.int32))).to_arrow()
 
-    def final(g: pa.Table) -> pa.Table:
-        df = pl.from_arrow(g).sort(order)
-        return df.head(max_per_key).to_arrow()
+    def final_shard(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).drop("_shard")
+        return head_per_key(df).to_arrow()
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby(key_cols).map_groups(final,
+    return parts.groupby("_shard").map_groups(final_shard,
                                               batch_format="pyarrow")
