@@ -132,7 +132,8 @@ def to_json_lines(batch: pa.Table, drop_columns: list[str] | None = None) -> pa.
 
 
 def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
-                   pattern: str = r"^\s", out_group: str = "event_grp"):
+                   pattern: str = r"^\s", out_group: str = "event_grp",
+                   merge_shards: int = 64):
     """Multiline codec — the logstash-family stack-trace joiner
     (logstash/gogstash ``codec multiline`` with ``what => previous``):
     a row whose text matches ``pattern`` is a CONTINUATION and joins
@@ -143,15 +144,29 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
     Output: one row per joined event — (key, out_group, event_idx =
     the group's min ``order``, n_lines, text joined with newlines).
 
-    Partitioning contract (same as conv_rebuild / the window family):
-    one ``groupby(key)`` shuffle co-locates each conversation; the
-    per-group work is a vectorized polars sort + cumulative head count
-    + group_by join, bounded by the conversation's own length. Order
-    re-established per group from ``order`` — Ray block order is
-    meaningless after a shuffle."""
+    Partitioning contract: ONE groupby co-locates every line of a
+    conversation — but on ``hash(key) % merge_shards``, not the raw
+    key (one Ray group per conversation drowns in per-group task
+    overhead — the throttle/minhash group-count lesson). Inside a
+    shard the whole codec is vectorized across conversations: sort by
+    (key, order), cumulative head count ``over(key)``, one group_by
+    join. A shard holds ~corpus/merge_shards rows — size the shard
+    count to the cluster. Order re-established from ``order`` — Ray
+    block order is meaningless after a shuffle."""
     import polars as pl
 
-    def per_conv(g: pa.Table) -> pa.Table:
+    if "_shard" in ds.schema().names:
+        raise ValueError("multiline_join reserves the _shard column; "
+                         "rename it on the input first")
+    n_shards = np.uint64(max(1, int(merge_shards)))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([key, order, text_field]))
+        h = df.get_column(key).hash(seed=0).to_numpy()
+        return df.with_columns(pl.Series(
+            "_shard", (h % n_shards).astype(np.int32))).to_arrow()
+
+    def per_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.select([key, order, text_field]))
         # cast guards all-null blocks arriving as Null dtype (no str
         # namespace — same hazard chunk_batch_fn documents); rows with
@@ -160,14 +175,15 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
         # polars sorts nulls first where SQL windows put them last, so
         # keeping them would silently diverge from any oracle)
         df = df.with_columns(pl.col(text_field).cast(pl.Utf8)) \
-            .filter(pl.col(order).is_not_null()).sort(order)
+            .filter(pl.col(order).is_not_null()) \
+            .sort([key, order], maintain_order=True)
         df = df.with_columns(
             (~pl.col(text_field).str.contains(pattern).fill_null(False))
             .cast(pl.Int64).alias("_head"))  # null text = its own head
-        df = df.with_columns(pl.col("_head").cum_sum().alias(out_group))
-        out = (df.group_by(out_group, maintain_order=True)
-               .agg(pl.col(key).first(),
-                    pl.col(order).min().alias("event_idx"),
+        df = df.with_columns(
+            pl.col("_head").cum_sum().over(key).alias(out_group))
+        out = (df.group_by([key, out_group], maintain_order=True)
+               .agg(pl.col(order).min().alias("event_idx"),
                     pl.len().cast(pl.Int64).alias("n_lines"),
                     # ignore_nulls pinned: a null line joins to '' and
                     # must keep doing so if the polars default flips
@@ -177,7 +193,9 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
         return out.select([key, out_group, "event_idx", "n_lines",
                            text_field]).to_arrow()
 
-    return ds.groupby(key).map_groups(per_conv, batch_format="pyarrow")
+    parts = ds.map_batches(add_shard, batch_format="pyarrow")
+    return parts.groupby("_shard").map_groups(per_shard,
+                                              batch_format="pyarrow")
 
 
 def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
