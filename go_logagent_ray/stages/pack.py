@@ -32,12 +32,23 @@ PACK_GROUP_WIDTH = 64
 def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
                    group_width: int = PACK_GROUP_WIDTH,
                    text_field: str = "text",
-                   id_field: str = "doc_id") -> Dataset:
-    """(doc_id, pack_group, bin_idx, tok) — bin assignment per doc."""
+                   id_field: str = "doc_id",
+                   merge_shards: int = 64) -> Dataset:
+    """(doc_id, pack_group, bin_idx, tok) — bin assignment per doc.
+
+    The co-locating groupby runs on ``hash(pack_group) % merge_shards``,
+    not the raw pack_group: a 10^12-doc corpus has ~10^10 width-64
+    groups, and Ray's per-group overhead would dominate (the
+    throttle/minhash group-count lesson). The sequential packing loop
+    runs over the shard's rows with a reset at every group boundary —
+    same total row count, bins still never cross groups."""
     if budget <= 0 or group_width <= 0:
         raise ValueError("budget and group_width must be positive")
+    n_shards = np.uint64(max(1, int(merge_shards)))
 
     def toks(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import mix_shard_i64
+
         df = pl.from_arrow(batch.select([id_field, text_field]))
         out = df.select(
             pl.col(id_field),
@@ -45,20 +56,24 @@ def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
             pl.col(text_field).str.split(" ").list.len()
               .cast(pl.Int64).alias("tok"),
         )
-        return out.to_arrow()
+        grp = out.get_column("pack_group").to_numpy()
+        return out.with_columns(pl.Series(
+            "_shard", mix_shard_i64(grp, int(n_shards)))).to_arrow()
 
     compact = ds.map_batches(toks, batch_format="pyarrow")
 
-    def pack(group: pa.Table) -> pa.Table:
-        ids = group.column(id_field).to_numpy(zero_copy_only=False)
-        tok = group.column("tok").to_numpy(zero_copy_only=False)
-        grp = group.column("pack_group").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
+    def pack(shard: pa.Table) -> pa.Table:
+        ids = shard.column(id_field).to_numpy(zero_copy_only=False)
+        tok = shard.column("tok").to_numpy(zero_copy_only=False)
+        grp = shard.column("pack_group").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, grp))  # group-major, doc order within
         ids, tok, grp = ids[order], tok[order], grp[order]
         bin_idx = np.empty(len(ids), dtype=np.int64)
         cur_bin, cur_tok = 0, 0
-        for i, t in enumerate(tok):  # bounded by group_width
-            if i > 0 and cur_tok + t > budget:
+        for i, t in enumerate(tok):
+            if i > 0 and grp[i] != grp[i - 1]:
+                cur_bin, cur_tok = 0, 0  # bins never cross groups
+            elif i > 0 and cur_tok + t > budget:
                 cur_bin += 1
                 cur_tok = 0
             bin_idx[i] = cur_bin
@@ -66,5 +81,5 @@ def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
         return pa.table({id_field: ids, "pack_group": grp,
                          "bin_idx": bin_idx, "tok": tok})
 
-    return compact.groupby("pack_group").map_groups(
+    return compact.groupby("_shard").map_groups(
         pack, batch_format="pyarrow")
