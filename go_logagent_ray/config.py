@@ -197,7 +197,8 @@ def _multiline(conf: dict):
     kw = dict(key=conf["key"], order=conf["order"],
               text_field=conf.get("field", "text"),
               pattern=conf.get("pattern", r"^\s"),
-              out_group=conf.get("out_group", "event_grp"))
+              out_group=conf.get("out_group", "event_grp"),
+              merge_shards=int(conf.get("merge_shards", 64)))
     return DatasetStage(lambda ds: multiline_join(ds, **kw)), {}
 
 
@@ -208,7 +209,8 @@ def _throttle(conf: dict):
     from .stages.filters import throttle
 
     kw = dict(key_cols=list(conf["key_cols"]), order=conf["order"],
-              max_per_key=int(conf["max_per_key"]))
+              max_per_key=int(conf["max_per_key"]),
+              merge_shards=int(conf.get("merge_shards", 64)))
     return DatasetStage(lambda ds: throttle(ds, **kw)), {}
 
 

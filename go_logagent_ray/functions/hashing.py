@@ -68,6 +68,23 @@ def mix_shard_i64(ids: np.ndarray, n_shards: int) -> np.ndarray:
     return (mixed % np.uint64(max(1, n_shards))).astype(np.int32)
 
 
+def shard_series_i32(df: "pl.DataFrame", cols: list[str],
+                     n_shards: int) -> "pl.Series":
+    """int32 ``_shard`` series for a polars frame: ``hash(col) % n`` for
+    a single key column, ``hash(struct(cols)) % n`` for a composite key
+    — THE merge-shard convention shared by every hash-sharded merge
+    groupby (multiline codec, throttle, conversation rebuild). Null
+    keys hash to one defined value, so a null-key group stays together
+    on one shard (pinned by tests/test_shard_invariance.py). Fixes to
+    the hashing/mod convention belong HERE, not at call sites; int-id
+    co-groups use ``mix_shard_i64`` instead (both sides of a co-group
+    must share one function)."""
+    expr = pl.col(cols[0]) if len(cols) == 1 else pl.struct(cols)
+    h = df.select(expr.hash(seed=0).alias("_h")).get_column("_h").to_numpy()
+    return pl.Series(
+        "_shard", (h % np.uint64(max(1, int(n_shards)))).astype(np.int32))
+
+
 def in_sorted_i64(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Vectorized ``vals ∈ sorted_arr`` membership for int64 arrays —
     THE shared idiom behind every broadcast keeper/drop set

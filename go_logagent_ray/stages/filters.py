@@ -150,21 +150,23 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
     overhead — the throttle/minhash group-count lesson). Inside a
     shard the whole codec is vectorized across conversations: sort by
     (key, order), cumulative head count ``over(key)``, one group_by
-    join. A shard holds ~corpus/merge_shards rows — size the shard
-    count to the cluster. Order re-established from ``order`` — Ray
-    block order is meaningless after a shuffle."""
+    join. A shard holds ~corpus/merge_shards rows, so ``merge_shards``
+    is the scale knob: size it so one shard of the corpus fits a
+    worker's heap (same contract as segdedup's ``keeper_shards``;
+    shard-count invariance of the RESULT is pinned by
+    tests/test_shard_invariance.py, so raising it is always safe).
+    Only the (key, order, text) columns are consumed — any other input
+    column, including a pre-existing ``_shard``, is dropped, never
+    clobbered. Order re-established from ``order`` — Ray block order
+    is meaningless after a shuffle."""
     import polars as pl
 
-    if "_shard" in ds.schema().names:
-        raise ValueError("multiline_join reserves the _shard column; "
-                         "rename it on the input first")
-    n_shards = np.uint64(max(1, int(merge_shards)))
+    from ..functions.hashing import shard_series_i32
 
     def add_shard(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([key, order, text_field]))
-        h = df.get_column(key).hash(seed=0).to_numpy()
-        return df.with_columns(pl.Series(
-            "_shard", (h % n_shards).astype(np.int32))).to_arrow()
+        return df.with_columns(
+            shard_series_i32(df, [key], merge_shards)).to_arrow()
 
     def per_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.select([key, order, text_field]))
@@ -213,19 +215,22 @@ def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
     merge groupby runs on ``hash(key) % merge_shards`` — NOT the raw
     key: one group per (user, hour) means millions of k-row groups
     and Ray's per-group task overhead dominates (the minhash/asof
-    group-count lesson; measured ~2× at sf0.1 with 64 shards). The
+    group-count lesson; measured ~2× at sf0.1 with 64 shards). A merge
+    shard holds ≤ max_per_key × blocks × keys/merge_shards rows —
+    size ``merge_shards`` to the cluster (shard-count invariance of
+    the result is pinned by tests/test_shard_invariance.py). The
     per-key head inside a shard is one vectorized polars group_by.
     Rows with a null key or order value are dropped (documented
     ranking-over-non-null semantics — SQL oracles must filter the
-    same)."""
+    same). Throttle passes ALL input columns through, so ``_shard``
+    is reserved — a batch carrying one fails loudly (checked per
+    batch, not via ds.schema(): schema() is None on schema-less empty
+    inputs and forces eager execution of the upstream plan)."""
     import polars as pl
 
-    sch_names = ds.schema().names
-    if "_shard" in sch_names:
-        raise ValueError("throttle reserves the _shard column for its "
-                         "merge groupby; rename it on the input first")
+    from ..functions.hashing import shard_series_i32
+
     cols = list(key_cols) + [order]
-    n_shards = np.uint64(max(1, int(merge_shards)))
 
     def head_per_key(df: "pl.DataFrame") -> "pl.DataFrame":
         return (df.sort(order, maintain_order=True)
@@ -233,11 +238,13 @@ def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
                 .head(max_per_key))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if "_shard" in batch.column_names:
+            raise ValueError("throttle reserves the _shard column for "
+                             "its merge groupby; rename it on the "
+                             "input first")
         df = head_per_key(pl.from_arrow(batch).drop_nulls(cols))
-        h = df.select(pl.struct(key_cols).hash(seed=0).alias("_h")) \
-            .get_column("_h").to_numpy()
-        return df.with_columns(pl.Series(
-            "_shard", (h % n_shards).astype(np.int32))).to_arrow()
+        return df.with_columns(
+            shard_series_i32(df, key_cols, merge_shards)).to_arrow()
 
     def final_shard(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g).drop("_shard")

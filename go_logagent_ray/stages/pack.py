@@ -41,7 +41,13 @@ def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
     groups, and Ray's per-group overhead would dominate (the
     throttle/minhash group-count lesson). The sequential packing loop
     runs over the shard's rows with a reset at every group boundary —
-    same total row count, bins still never cross groups."""
+    same total row count, bins still never cross groups. A merge shard
+    holds ~corpus/merge_shards compact (id, group, tok) rows — 24 B
+    each, no text — so ``merge_shards`` is the scale knob: size it so
+    one shard fits a worker's heap (shard-count invariance of the
+    result is pinned by tests/test_shard_invariance.py). Only the
+    (id, text) columns are consumed, so an input ``_shard`` column is
+    dropped, never clobbered."""
     if budget <= 0 or group_width <= 0:
         raise ValueError("budget and group_width must be positive")
     n_shards = np.uint64(max(1, int(merge_shards)))

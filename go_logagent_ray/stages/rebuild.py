@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -54,19 +53,21 @@ def rebuild_conversations(ds: Dataset, *, conv_col: str = "conv_id",
     Null-turn semantics mirror SQL ``string_agg``: null texts are
     skipped from the concatenation (no separator for them) while
     ``n_turns`` still counts every row; a conversation whose turns are
-    ALL null gets null ``n_chars``/``text_md5`` (string_agg -> NULL)."""
+    ALL null gets null ``n_chars``/``text_md5`` (string_agg -> NULL).
+
+    Only the (conv, order, text) columns are consumed — any other
+    input column, including a pre-existing ``_shard``, is dropped,
+    never clobbered. ``merge_shards`` is the scale knob (a shard holds
+    ~corpus/merge_shards rows; shard-count invariance of the result is
+    pinned by tests/test_shard_invariance.py)."""
     import polars as pl
 
-    if "_shard" in ds.schema().names:
-        raise ValueError("rebuild_conversations reserves the _shard "
-                         "column; rename it on the input first")
-    n_shards = np.uint64(max(1, int(merge_shards)))
+    from ..functions.hashing import shard_series_i32
 
     def add_shard(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([conv_col, order_col, text_col]))
-        h = df.get_column(conv_col).hash(seed=0).to_numpy()
-        return df.with_columns(pl.Series(
-            "_shard", (h % n_shards).astype(np.int32))).to_arrow()
+        return df.with_columns(
+            shard_series_i32(df, [conv_col], merge_shards)).to_arrow()
 
     def per_shard(g: pa.Table) -> pa.Table:
         # vectorized stable sort + per-conv join across the whole shard

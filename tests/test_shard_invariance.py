@@ -275,6 +275,12 @@ def test_pack_shard_invariant(ray_session):
 # ------------------------------------------------- reserved-column guards
 
 def test_shard_column_reserved(ray_session):
+    """throttle passes ALL input columns through, so an input `_shard`
+    collides with its merge key and must fail loudly (per batch — not
+    via ds.schema(), which is None on schema-less inputs and forces
+    eager execution). The select-based operators (multiline, rebuild,
+    pack) consume only their named columns: an input `_shard` is
+    dropped, never clobbered, and the operator succeeds."""
     import ray.data as rd
 
     from go_logagent_ray.stages.filters import multiline_join, throttle
@@ -285,9 +291,79 @@ def test_shard_column_reserved(ray_session):
                   "text": pa.array(["x"], pa.string()),
                   "_shard": pa.array([0], pa.int32())})
     ds = rd.from_arrow(t)
-    with pytest.raises(ValueError, match="_shard"):
-        throttle(ds, key_cols=["key"], order="ord", max_per_key=1)
-    with pytest.raises(ValueError, match="_shard"):
-        multiline_join(ds, key="key", order="ord")
-    with pytest.raises(ValueError, match="_shard"):
-        rebuild_conversations(ds, conv_col="key", order_col="ord")
+    # the guard now fires inside the batch fn, so Ray 2.49 delivers it
+    # wrapped (RayTaskError(UserCodeException)) — match on the message
+    with pytest.raises(Exception, match="_shard"):
+        throttle(ds, key_cols=["key"], order="ord",
+                 max_per_key=1).take_all()
+
+    got = multiline_join(rd.from_arrow(t), key="key",
+                         order="ord").take_all()
+    assert [r["text"] for r in got] == ["x"]
+    assert all("_shard" not in r for r in got)
+
+    got = rebuild_conversations(rd.from_arrow(t), conv_col="key",
+                                order_col="ord").take_all()
+    assert len(got) == 1 and got[0]["n_turns"] == 1
+    assert "_shard" not in got[0]
+
+
+def test_schemaless_empty_input(ray_session):
+    """A fully-filtered upstream yields a dataset whose .schema() is
+    None; the sharded operators must build lazily and return zero rows
+    instead of crashing at construction (and must not force eager
+    execution of the upstream plan while being constructed)."""
+    import ray.data as rd
+
+    from go_logagent_ray.stages.filters import multiline_join, throttle
+    from go_logagent_ray.stages.rebuild import rebuild_conversations
+
+    t = pa.table({"key": pa.array([1, 2], pa.int64()),
+                  "ord": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["x", "y"], pa.string())})
+
+    def empty_ds():
+        return rd.from_arrow(t).filter(lambda r: False)
+
+    assert throttle(empty_ds(), key_cols=["key"], order="ord",
+                    max_per_key=1).count() == 0
+    assert multiline_join(empty_ds(), key="key", order="ord").count() == 0
+    assert rebuild_conversations(empty_ds(), conv_col="key",
+                                 order_col="ord").count() == 0
+
+
+def test_null_key_groups_pinned(ray_session):
+    """Null KEY rows are kept as ONE group by multiline_join and
+    rebuild_conversations (throttle alone documents drop-null-key
+    semantics). polars hashes null to one defined value and group_by
+    keeps a null group — pin that a null-key conversation neither
+    splits nor disappears, at several shard counts, so an engine
+    upgrade changing null-hash/sort placement fails here instead of
+    silently."""
+    from go_logagent_ray.stages.filters import multiline_join
+    from go_logagent_ray.stages.rebuild import rebuild_conversations
+
+    t = pa.table({
+        "key": pa.array([None, None, None, 7, 7], pa.int64()),
+        "ord": pa.array([10, 11, 12, 1, 2], pa.int64()),
+        "text": pa.array(["head A", "  cont A", "head B",
+                          "head C", "  cont C"], pa.string()),
+    })
+    for shards in (1, 5):
+        out = _sorted_df(multiline_join(
+            _split_ds(ray_session, t, 3), key="key", order="ord",
+            merge_shards=shards).to_pandas())
+        # null key: two events (head A+cont, head B); key 7: one event
+        nul = out[out["key"].isna()]
+        assert list(nul["text"]) == ["head A\n  cont A", "head B"]
+        assert list(out[out["key"] == 7]["text"]) == ["head C\n  cont C"]
+
+        got = rebuild_conversations(
+            _split_ds(ray_session, t, 3), conv_col="key",
+            order_col="ord", text_col="text",
+            merge_shards=shards).to_pandas()
+        nul = got[got["key"].isna()]
+        assert len(nul) == 1 and int(nul["n_turns"].iloc[0]) == 3
+        md5 = hashlib.md5(
+            "head A\n  cont A\nhead B".encode()).hexdigest()
+        assert nul["text_md5"].iloc[0] == md5
