@@ -159,6 +159,19 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
     column, including a pre-existing ``_shard``, is dropped, never
     clobbered. Order re-established from ``order`` — Ray block order
     is meaningless after a shuffle."""
+    add_shard, per_shard = multiline_kernels(
+        key=key, order=order, text_field=text_field, pattern=pattern,
+        out_group=out_group, merge_shards=merge_shards)
+    parts = ds.map_batches(add_shard, batch_format="pyarrow")
+    return parts.groupby("_shard").map_groups(per_shard,
+                                              batch_format="pyarrow")
+
+
+def multiline_kernels(*, key: str, order: str, text_field: str,
+                      pattern: str, out_group: str, merge_shards: int):
+    """(add_shard, per_shard) for the multiline codec — module-level so
+    the split→partial→shard-group→merge composition is property-testable
+    without a Ray session (tests/test_sharded_properties.py)."""
     import polars as pl
 
     from ..functions.hashing import shard_series_i32
@@ -195,9 +208,7 @@ def multiline_join(ds, *, key: str, order: str, text_field: str = "text",
         return out.select([key, out_group, "event_idx", "n_lines",
                            text_field]).to_arrow()
 
-    parts = ds.map_batches(add_shard, batch_format="pyarrow")
-    return parts.groupby("_shard").map_groups(per_shard,
-                                              batch_format="pyarrow")
+    return add_shard, per_shard
 
 
 def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
@@ -226,6 +237,19 @@ def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
     is reserved — a batch carrying one fails loudly (checked per
     batch, not via ds.schema(): schema() is None on schema-less empty
     inputs and forces eager execution of the upstream plan)."""
+    partial, final_shard = throttle_kernels(
+        key_cols=key_cols, order=order, max_per_key=max_per_key,
+        merge_shards=merge_shards)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("_shard").map_groups(final_shard,
+                                              batch_format="pyarrow")
+
+
+def throttle_kernels(*, key_cols: list[str], order: str,
+                     max_per_key: int, merge_shards: int):
+    """(partial, final_shard) for throttle — module-level so the
+    split→partial→shard-group→merge composition is property-testable
+    without a Ray session (tests/test_sharded_properties.py)."""
     import polars as pl
 
     from ..functions.hashing import shard_series_i32
@@ -250,6 +274,4 @@ def throttle(ds, *, key_cols: list[str], order: str, max_per_key: int,
         df = pl.from_arrow(g).drop("_shard")
         return head_per_key(df).to_arrow()
 
-    parts = ds.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby("_shard").map_groups(final_shard,
-                                              batch_format="pyarrow")
+    return partial, final_shard

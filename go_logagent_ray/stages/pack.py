@@ -48,6 +48,19 @@ def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
     result is pinned by tests/test_shard_invariance.py). Only the
     (id, text) columns are consumed, so an input ``_shard`` column is
     dropped, never clobbered."""
+    toks, pack = pack_kernels(budget=budget, group_width=group_width,
+                              text_field=text_field, id_field=id_field,
+                              merge_shards=merge_shards)
+    compact = ds.map_batches(toks, batch_format="pyarrow")
+    return compact.groupby("_shard").map_groups(
+        pack, batch_format="pyarrow")
+
+
+def pack_kernels(*, budget: int, group_width: int, text_field: str,
+                 id_field: str, merge_shards: int):
+    """(toks, pack) — module-level so the composition is
+    property-testable without a Ray session
+    (tests/test_sharded_properties.py)."""
     if budget <= 0 or group_width <= 0:
         raise ValueError("budget and group_width must be positive")
     n_shards = np.uint64(max(1, int(merge_shards)))
@@ -65,8 +78,6 @@ def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
         grp = out.get_column("pack_group").to_numpy()
         return out.with_columns(pl.Series(
             "_shard", mix_shard_i64(grp, int(n_shards)))).to_arrow()
-
-    compact = ds.map_batches(toks, batch_format="pyarrow")
 
     def pack(shard: pa.Table) -> pa.Table:
         ids = shard.column(id_field).to_numpy(zero_copy_only=False)
@@ -87,5 +98,4 @@ def pack_documents(ds: Dataset, *, budget: int = PACK_BUDGET,
         return pa.table({id_field: ids, "pack_group": grp,
                          "bin_idx": bin_idx, "tok": tok})
 
-    return compact.groupby("_shard").map_groups(
-        pack, batch_format="pyarrow")
+    return toks, pack

@@ -60,6 +60,19 @@ def rebuild_conversations(ds: Dataset, *, conv_col: str = "conv_id",
     never clobbered. ``merge_shards`` is the scale knob (a shard holds
     ~corpus/merge_shards rows; shard-count invariance of the result is
     pinned by tests/test_shard_invariance.py)."""
+    add_shard, per_shard = rebuild_kernels(
+        conv_col=conv_col, order_col=order_col, text_col=text_col,
+        sep=sep, merge_shards=merge_shards)
+    parts = ds.map_batches(add_shard, batch_format="pyarrow")
+    return parts.groupby("_shard").map_groups(per_shard,
+                                              batch_format="pyarrow")
+
+
+def rebuild_kernels(*, conv_col: str, order_col: str, text_col: str,
+                    sep: str, merge_shards: int):
+    """(add_shard, per_shard) for the conversation rebuild —
+    module-level so the composition is property-testable without a Ray
+    session (tests/test_sharded_properties.py)."""
     import polars as pl
 
     from ..functions.hashing import shard_series_i32
@@ -101,6 +114,4 @@ def rebuild_conversations(ds: Dataset, *, conv_col: str = "conv_id",
             "text_md5": pa.array(md5s, pa.string()),
         })
 
-    parts = ds.map_batches(add_shard, batch_format="pyarrow")
-    return parts.groupby("_shard").map_groups(per_shard,
-                                              batch_format="pyarrow")
+    return add_shard, per_shard
