@@ -214,6 +214,18 @@ def _throttle(conf: dict):
     return DatasetStage(lambda ds: throttle(ds, **kw)), {}
 
 
+@register_stage("templates")
+def _templates(conf: dict):
+    """Log-template mining (Drain-family) — REPLACES the stream with
+    one row per discovered (n_tokens, template, n_docs); typically the
+    terminal stage of a discovery pipeline."""
+    from .stages.templates import mine_templates
+
+    kw = dict(text_field=conf.get("field", "text"),
+              merge_shards=int(conf.get("merge_shards", 64)))
+    return DatasetStage(lambda ds: mine_templates(ds, **kw)), {}
+
+
 @register_stage("sample")
 def _sample(conf: dict):
     """Deterministic keep-percent filter (reproducible sampling)."""

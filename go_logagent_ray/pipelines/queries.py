@@ -3088,6 +3088,148 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
 """
 
 
+def q_log_templates_docs(sf_dir: str):
+    """Log-template mining (Drain-family, `stages/templates.py`): group
+    lines by (token_count, first_token), keep a position literal iff
+    every group member agrees on it, else wildcard `<*>`; one row per
+    template with its document count. Only (group, pos, min, max, cnt)
+    partials shuffle — bounded by template structure, not corpus size —
+    and the merge runs on hash(group) % merge_shards (the
+    throttle/multiline group-count discipline)."""
+    from ..stages.templates import mine_templates
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return mine_templates(ds, text_field="text")
+
+
+SQL_LOG_TEMPLATES_DOCS = """
+WITH base AS (
+  SELECT string_split(text, ' ') AS ts,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         string_split(text, ' ')[1] AS tok0
+  FROM documents WHERE text IS NOT NULL
+), pos AS (
+  SELECT n, tok0, unnest(ts) AS tok,
+         unnest(range(1, CAST(len(ts) AS BIGINT) + 1)) AS p
+  FROM base
+), agg AS (
+  SELECT n, tok0, p,
+         CASE WHEN MIN(tok) = MAX(tok) THEN MIN(tok)
+              ELSE '<*>' END AS piece
+  FROM pos GROUP BY n, tok0, p
+), tmpl AS (
+  SELECT n, tok0, string_agg(piece, ' ' ORDER BY p) AS template
+  FROM agg GROUP BY n, tok0
+), cnt AS (
+  SELECT n, tok0, COUNT(*) AS n_docs FROM base GROUP BY n, tok0
+)
+SELECT t.n AS n_tokens, t.template, c.n_docs
+FROM tmpl t JOIN cnt c ON t.n = c.n AND t.tok0 = c.tok0
+"""
+
+
+def q_contamination_overlap_docs(sf_dir: str):
+    """GPT-3-style contamination overlap
+    (`stages/decontaminate.py::contamination_overlap`): per doc, the
+    distinct 8-word-gram count and how many of those grams appear in
+    the benchmark set (the same deterministic doc_id%97 stand-in
+    benchmark as decontaminate_docs — that query counts blocklist
+    grams contained as substrings; this one measures the doc-side
+    overlap fraction). Shuffle-free: a doc is one row, grams are built
+    with n shifted polars columns per batch, membership is an exact
+    string join against the broadcast bench frame."""
+    from ..stages.decontaminate import contamination_overlap
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination_overlap(ds)
+
+
+SQL_CONTAMINATION_OVERLAP_DOCS = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents WHERE text IS NOT NULL
+), bench AS (
+  SELECT DISTINCT array_to_string(list_slice(ts, 1, 8), ' ') AS gram
+  FROM docs WHERE doc_id % 97 = 0 AND len(ts) >= 8
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(ts, p, p + 7), ' ') AS gram
+  FROM (SELECT doc_id, ts,
+               unnest(range(1, CAST(len(ts) AS BIGINT) - 6)) AS p
+        FROM docs)
+), cnt AS (
+  SELECT doc_id, COUNT(DISTINCT gram) AS n_grams,
+         COUNT(DISTINCT CASE WHEN gram IN (SELECT gram FROM bench)
+                             THEN gram END) AS n_matched
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(c.n_grams, 0) AS n_grams,
+       COALESCE(c.n_matched, 0) AS n_matched
+FROM docs d LEFT JOIN cnt c USING (doc_id)
+"""
+
+
+def q_retention_users_events(sf_dir: str):
+    """Cohort retention — the classic log-analytics rollup: cohort a
+    user by their first active day, then count distinct users active
+    at each (cohort_day, day_offset). One shuffle total: batches
+    reduce to distinct (user, epoch-day) pairs (compact partials, never
+    rows), the per-user min and offsets are computed inside
+    hash(user) % merge_shards groups with the per-user work vectorized
+    across each shard (`min().over(user)`), and per-shard
+    (cohort, offset) count partials finish in a tiny grouped sum.
+    Days are int64 epoch days so no timestamp formatting can drift
+    between the Ray and SQL sides."""
+    import polars as pl
+
+    from ..functions.hashing import shard_series_i32
+    from ..stages.aggregate import grouped_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    merge_shards = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["user_id", "ts"]))
+              .drop_nulls(["user_id", "ts"]))
+        part = (df.with_columns(
+                    pl.col("ts").cast(pl.Date).cast(pl.Int64).alias("day"))
+                .select(["user_id", "day"]).unique())
+        return part.with_columns(
+            shard_series_i32(part, ["user_id"], merge_shards)).to_arrow()
+
+    def final_shard(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g).drop("_shard")
+              .unique(["user_id", "day"]))
+        df = df.with_columns(
+            pl.col("day").min().over("user_id").alias("cohort_day"))
+        out = (df.with_columns(
+                   (pl.col("day") - pl.col("cohort_day"))
+                   .alias("day_offset"))
+               .group_by(["cohort_day", "day_offset"])
+               .agg(pl.len().cast(pl.Int64).alias("n_users")))
+        return out.to_arrow()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    shard_counts = parts.groupby("_shard").map_groups(
+        final_shard, batch_format="pyarrow")
+    return grouped_sum(shard_counts, ["cohort_day", "day_offset"],
+                       "n_users", alias="n_users")
+
+
+SQL_RETENTION_USERS_EVENTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id
+)
+SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+       COUNT(*) AS n_users
+FROM ud u JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -3098,6 +3240,9 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.25) FROM documents)
 # covered, not driver-run).
 QUERIES = {
     # --- round-5 new ---
+    "log_templates_docs": q_log_templates_docs,
+    "contamination_overlap_docs": q_contamination_overlap_docs,
+    "retention_users_events": q_retention_users_events,
     "curate_docs_v2": q_curate_docs_v2,
     # --- first-ever driver run (VERDICT r4 #2: the one §2 operator
     # never driver-verified) ---
@@ -3155,10 +3300,7 @@ QUERIES = {
     "checkpoint_resume_counts": q_checkpoint_resume_counts,
     "json_sink_rows": q_json_sink_rows,
     "config_pipeline_counts": q_config_pipeline_counts,
-    "sorted_turns": q_sorted_turns,
     "conv_gap_stats_salted": q_conv_gap_stats_salted,
-    "session_windows_salted": q_session_windows_salted,
-    "media_frames_docs": q_media_frames_docs,
 }
 
 # Redundant/secondary variants retired from the driver window (each
@@ -3188,6 +3330,19 @@ QUERIES = {
 # in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    # --- rotated OUT late round 5 (driver-proven r2–r4, ceding slots
+    # to the new template-mining / contamination-overlap / retention
+    # operators; rotate back by r7). In-window proxies: sorted_turns'
+    # O1 per-turn byte-equality ⊂ conv_rebuild, whose oracle digests
+    # md5(string_agg(text ORDER BY turn_idx)) — a strictly
+    # order-AND-text-sensitive check at conversation granularity;
+    # session_windows_salted ⊂ conv_gap_stats_salted (the same salted
+    # two-level window machinery, W/P) with sliding_window_counts also
+    # in-window for W; media_frames_docs is rows-only by design (codec
+    # stubbed) — its frame-count conservation stays pytest-gated ---
+    "sorted_turns": q_sorted_turns,
+    "session_windows_salted": q_session_windows_salted,
+    "media_frames_docs": q_media_frames_docs,
     # --- rotated OUT for round 5 (all driver-proven in r4 — and r1/r2
     # for the first four — ceding slots to the paid-back r4 debts, the
     # first-ever throttle driver row, and curate_docs_v2; rotate back
@@ -3257,6 +3412,9 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "log_templates_docs": SQL_LOG_TEMPLATES_DOCS,
+    "contamination_overlap_docs": SQL_CONTAMINATION_OVERLAP_DOCS,
+    "retention_users_events": SQL_RETENTION_USERS_EVENTS,
     "bpe_merges_docs": SQL_BPE_MERGES_DOCS,
     "bpe_vocab_docs": SQL_BPE_VOCAB_DOCS,
     "zscore_filter_docs": SQL_ZSCORE_FILTER_DOCS,

@@ -108,3 +108,76 @@ def decontaminate(ds: Dataset, *, text_field: str = "text",
                                    text_field=text_field,
                                    id_field=id_field),
         batch_format="pyarrow", batch_size=1024, concurrency=concurrency)
+
+
+class ContaminationOverlapStage:
+    """Actor-pool stage: per-document n-gram OVERLAP against the
+    benchmark set — the GPT-3-appendix-C contamination measure
+    (fraction of a doc's n-grams that appear in any eval set), as
+    opposed to ``DecontaminateStage``'s binary substring-hit count.
+
+    Per batch, fully vectorized and shuffle-free: tokenize → explode →
+    rolling n-grams via n shifted columns ``over`` the doc id (one
+    polars kernel each, never a per-row loop) → distinct-gram counts
+    per doc, membership decided by a left join against the broadcast
+    bench-gram frame (exact string equality — no hash, so no collision
+    caveat vs the SQL oracle). A document is one row, so the whole
+    measure needs no shuffle; the bench set is benchmark-sized and
+    rides ``ray.put`` once.
+    """
+
+    def __init__(self, grams_ref, *, n: int = BENCH_NGRAM,
+                 text_field: str = "text", id_field: str = "doc_id"):
+        import polars as pl
+
+        grams = ray.get(grams_ref) if isinstance(
+            grams_ref, ray.ObjectRef) else list(grams_ref)
+        self.bench = pl.DataFrame({
+            "_gram": pl.Series(grams, dtype=pl.Utf8),
+        }).unique().with_columns(pl.lit(True).alias("_hit"))
+        self.n = int(n)
+        self.text_field = text_field
+        self.id_field = id_field
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (pl.from_arrow(batch.select([self.id_field, self.text_field]))
+              .with_columns(pl.col(self.text_field).cast(pl.Utf8))
+              .filter(pl.col(self.text_field).is_not_null()))
+        ids = df.select(self.id_field)
+        e = (df.with_columns(
+                 pl.col(self.text_field).str.split(" ").alias("_toks"))
+             .select([self.id_field, "_toks"]).explode("_toks"))
+        e = e.with_columns(pl.concat_str(
+            [pl.col("_toks").shift(-i).over(self.id_field)
+             for i in range(self.n)],
+            separator=" ").alias("_gram")).drop_nulls("_gram")
+        e = e.join(self.bench, on="_gram", how="left")
+        cnt = e.group_by(self.id_field).agg(
+            pl.col("_gram").n_unique().cast(pl.Int64).alias("n_grams"),
+            pl.col("_gram").filter(pl.col("_hit"))
+            .n_unique().cast(pl.Int64).alias("n_matched"))
+        out = ids.join(cnt, on=self.id_field, how="left").with_columns(
+            pl.col("n_grams").fill_null(0),
+            pl.col("n_matched").fill_null(0))
+        return out.select([self.id_field, "n_grams",
+                           "n_matched"]).to_arrow()
+
+
+def contamination_overlap(ds: Dataset, *, text_field: str = "text",
+                          id_field: str = "doc_id", mod: int = BENCH_MOD,
+                          n: int = BENCH_NGRAM,
+                          concurrency: int = 2) -> Dataset:
+    """(doc_id, n_grams, n_matched) per non-null-text doc: distinct
+    word n-grams in the doc, and how many of those appear in the
+    benchmark set. Docs shorter than ``n`` words report (0, 0)."""
+    grams = build_benchmark_grams(ds, text_field=text_field,
+                                  id_field=id_field, mod=mod, n=n)
+    grams_ref = ray.put(grams)
+    return ds.map_batches(
+        ContaminationOverlapStage,
+        fn_constructor_kwargs=dict(grams_ref=grams_ref, n=n,
+                                   text_field=text_field,
+                                   id_field=id_field),
+        batch_format="pyarrow", batch_size=1024, concurrency=concurrency)
