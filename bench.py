@@ -165,6 +165,12 @@ def bench_queries() -> dict[str, float]:
         "multiline_events",       # multiline codec grouped join (r4)
         "throttle_events",        # rate-limit combiner + merge (r4)
         "curate_docs_v2",         # curation incl. near-dup stage (r5)
+        "log_templates_docs",     # Drain-family template mining (r5)
+        "contamination_overlap_docs",  # GPT-3 n-gram overlap (r5)
+        "retention_users_events",  # cohort retention rollup (r5)
+        "rollup_docs",            # multi-level ROLLUP counts (r5)
+        "wau_events",             # rolling 7-day active users (r5)
+        "transitions_events",     # Markov transition mining (r5)
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -226,6 +226,33 @@ def _templates(conf: dict):
     return DatasetStage(lambda ds: mine_templates(ds, **kw)), {}
 
 
+@register_stage("transitions")
+def _transitions(conf: dict):
+    """Event-sequence transition mining — REPLACES the stream with one
+    row per (from_type, to_type, n) Markov edge; terminal analytics
+    stage like ``templates``."""
+    from .stages.transitions import transition_counts
+
+    kw = dict(entity_col=conf["entity"],
+              order_cols=tuple(conf["order_cols"]),
+              state_col=conf["state"],
+              merge_shards=int(conf.get("merge_shards", 64)))
+    return DatasetStage(lambda ds: transition_counts(ds, **kw)), {}
+
+
+@register_stage("rollup")
+def _rollup(conf: dict):
+    """Multi-level ROLLUP counts — REPLACES the stream with one row per
+    key-prefix level plus the grand total; ``sentinels`` maps each key
+    to its roll-up marker value (required, see rollup_counts)."""
+    from .stages.aggregate import rollup_counts
+
+    kw = dict(keys=list(conf["keys"]),
+              alias=conf.get("alias", "n"),
+              sentinels=dict(conf["sentinels"]))
+    return DatasetStage(lambda ds: rollup_counts(ds, **kw)), {}
+
+
 @register_stage("sample")
 def _sample(conf: dict):
     """Deterministic keep-percent filter (reproducible sampling)."""

@@ -3230,6 +3230,89 @@ GROUP BY 1, 2
 """
 
 
+def q_rollup_docs(sf_dir: str):
+    """Multi-level ROLLUP counts (`stages/aggregate.py::rollup_counts`):
+    one row per (lang, source), per lang subtotal, and the grand total
+    — the dashboard drill-down rollup. The stream is counted once at
+    the finest level; each coarser level re-aggregates the previous
+    (tiny, key-cardinality-bounded) result, so the rollup costs one
+    pass regardless of depth. Sentinels 'ALL' stand in for SQL's NULL
+    rollup markers (mirrored with COALESCE in the oracle)."""
+    from ..stages.aggregate import rollup_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return rollup_counts(ds, ["lang", "source"], alias="n",
+                         sentinels={"lang": "ALL", "source": "ALL"})
+
+
+SQL_ROLLUP_DOCS = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_wau_events(sf_dir: str):
+    """Rolling 7-day active users
+    (`stages/window.py::rolling_active_users`): per calendar day with
+    any activity, the distinct users active in the trailing window.
+    Only distinct (user, epoch-day) pairs shuffle — one
+    hash(user) % shards exchange; each shard expands its pairs to the
+    report days they cover and emits per-day count partials that sum
+    exactly because a user's pairs never split across shards."""
+    from ..stages.window import rolling_active_users
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ds, user_col="user_id", ts_col="ts",
+                                window_days=7, merge_shards=64)
+
+
+SQL_WAU_EVENTS = """
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), days AS (SELECT DISTINCT day FROM pairs)
+SELECT days.day, COUNT(DISTINCT pairs.user_id) AS wau
+FROM days JOIN pairs ON pairs.day BETWEEN days.day - 6 AND days.day
+GROUP BY 1
+"""
+
+
+def q_transitions_events(sf_dir: str):
+    """Event-sequence transition mining
+    (`stages/transitions.py::transition_counts`): per-user time-ordered
+    event paths reduced to corpus-wide (from_type, to_type) edge
+    counts — the first-order Markov chain over event types. One shuffle
+    of the four pruned columns into hash(user) % shards groups; the
+    sort, per-user lag, and pair count are vectorized polars kernels
+    per shard, and a tiny grouped sum (≤ n_states² rows per shard)
+    finishes across shards. (ts, event_id) is a total order per user,
+    so the lag is deterministic vs the oracle's LAG window."""
+    from ..stages.transitions import transition_counts
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds, entity_col="user_id",
+                             order_cols=("ts", "event_id"),
+                             state_col="event_type", merge_shards=64)
+
+
+SQL_TRANSITIONS_EVENTS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL AND event_type IS NOT NULL
+)
+SELECT from_type, event_type AS to_type, COUNT(*) AS n
+FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -3240,6 +3323,9 @@ GROUP BY 1, 2
 # covered, not driver-run).
 QUERIES = {
     # --- round-5 new ---
+    "rollup_docs": q_rollup_docs,
+    "wau_events": q_wau_events,
+    "transitions_events": q_transitions_events,
     "log_templates_docs": q_log_templates_docs,
     "contamination_overlap_docs": q_contamination_overlap_docs,
     "retention_users_events": q_retention_users_events,
@@ -3284,9 +3370,6 @@ QUERIES = {
     "inverted_index_docs": q_inverted_index_docs,
     "bloom_join": q_bloom_join,
     "asof_join_salted": q_asof_join_salted,
-    "range_join_events": q_range_join_events,
-    "sliding_window_counts": q_sliding_window_counts,
-    "dedup_broadcast_docs": q_dedup_broadcast_docs,
     "profile_events": q_profile_events,
     "tcp_source_counts": q_tcp_source_counts,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
@@ -3343,6 +3426,19 @@ EXTRA_QUERIES = {
     "sorted_turns": q_sorted_turns,
     "session_windows_salted": q_session_windows_salted,
     "media_frames_docs": q_media_frames_docs,
+    # --- rotated OUT latest round 5 (driver-proven r2/r3/r4, ceding
+    # slots to rollup/wau/transitions; rotate back by r7). In-window
+    # proxies: dedup_broadcast's exact-dedup semantics stay
+    # driver-proven via incremental_dedup_docs (the SAME
+    # SQL_DEDUP_EXACT_DOCS oracle, raw-text keyed) plus the in-window
+    # segment/cdc/cluster dedup family; range_join ⊂ the in-window
+    # asof family (asof_join_salted + asof_forward_events share the
+    # SIDE_COL co-group machinery); sliding_window ⊂
+    # conv_gap_stats_salted (W) with the tumbling/sliding kernels
+    # pytest-gated here ---
+    "range_join_events": q_range_join_events,
+    "sliding_window_counts": q_sliding_window_counts,
+    "dedup_broadcast_docs": q_dedup_broadcast_docs,
     # --- rotated OUT for round 5 (all driver-proven in r4 — and r1/r2
     # for the first four — ceding slots to the paid-back r4 debts, the
     # first-ever throttle driver row, and curate_docs_v2; rotate back
@@ -3412,6 +3508,9 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rollup_docs": SQL_ROLLUP_DOCS,
+    "wau_events": SQL_WAU_EVENTS,
+    "transitions_events": SQL_TRANSITIONS_EVENTS,
     "log_templates_docs": SQL_LOG_TEMPLATES_DOCS,
     "contamination_overlap_docs": SQL_CONTAMINATION_OVERLAP_DOCS,
     "retention_users_events": SQL_RETENTION_USERS_EVENTS,

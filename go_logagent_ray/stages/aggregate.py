@@ -155,3 +155,82 @@ def grouped_topk(ds: Dataset, group_key: str, order_col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby(group_key).map_groups(final, batch_format="pandas")
+
+
+def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
+                  sentinels: dict | None = None,
+                  mode: str = "tree") -> Dataset:
+    """``GROUP BY ROLLUP(keys)`` counts — the multi-level dashboard
+    rollup: one row per distinct key tuple at EVERY prefix level
+    (finest, each subtotal, grand total).
+
+    Scale shape: the stream is counted ONCE at the finest level
+    (``counts_by`` partials); every coarser level re-aggregates the
+    previous level's result — tiny, bounded by key cardinality — so the
+    rollup costs one pass + negligible reductions, never one pass per
+    level. Rolled-up columns are filled with caller ``sentinels``
+    (required, one per key) instead of SQL's NULL markers so downstream
+    grouping/hashing never meets a null key; rows with a genuine null in
+    any key column are excluded first (the sentinel would be ambiguous
+    otherwise — mirror with ``WHERE k IS NOT NULL`` + ``COALESCE`` in
+    the oracle). The grand-total row is emitted even for empty input
+    (count 0 — SQL ROLLUP's documented behavior, verified in DuckDB).
+    """
+    import ray
+
+    if not keys:
+        raise ValueError("rollup_counts needs at least one key")
+    if sentinels is None or set(sentinels) != set(keys):
+        raise ValueError("pass one sentinel per key: sentinels={col: v}")
+
+    def drop_null_keys(batch: pa.Table) -> pa.Table:
+        return batch.select(keys).drop_null()
+
+    base = counts_by(ds.map_batches(drop_null_keys,
+                                    batch_format="pyarrow"),
+                     keys, alias=alias, mode=mode)
+
+    def pad(kept: list[str]):
+        missing = [k for k in keys if k not in kept]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {k: batch[k] for k in kept}
+            for k in missing:
+                # explicit type: a zero-row block would otherwise infer
+                # null-typed sentinels and poison the union schema
+                t = pa.scalar(sentinels[k]).type
+                cols[k] = pa.array([sentinels[k]] * batch.num_rows, t)
+            cols[alias] = batch[alias]
+            return pa.table(cols)
+
+        return fn
+
+    pieces = [base]
+    prev = base
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = grouped_sum(prev, keys[:i], alias, alias=alias)
+        pieces.append(lvl.map_batches(pad(keys[:i]),
+                                      batch_format="pyarrow"))
+        prev = lvl
+
+    # grand total: a constant-key sum over the coarsest level, seeded
+    # with a zero row so empty input still yields the count-0 total row
+    def tag_one(batch: pa.Table) -> pa.Table:
+        return pa.table({"_one": pa.array([0] * batch.num_rows,
+                                          pa.int64()),
+                         alias: batch[alias]})
+
+    seed = ray.data.from_arrow(pa.table({
+        "_one": pa.array([0], pa.int64()),
+        alias: pa.array([0], pa.int64())}))
+    total = grouped_sum(prev.map_batches(tag_one, batch_format="pyarrow")
+                        .union(seed), ["_one"], alias, alias=alias)
+    pieces.append(total.map_batches(pad([]), batch_format="pyarrow"))
+
+    def order_cols(batch: pa.Table) -> pa.Table:
+        return batch.select(keys + [alias])
+
+    out = pieces[0].map_batches(order_cols, batch_format="pyarrow")
+    for p in pieces[1:]:
+        out = out.union(p.map_batches(order_cols, batch_format="pyarrow"))
+    return out

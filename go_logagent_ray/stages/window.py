@@ -291,3 +291,107 @@ def _session_windows_salted(ds: Dataset, key: str, ts: str, order: str,
     locals_ = salted.groupby([key, "_salt"]).map_groups(
         local_sessions, batch_format="pandas")
     return locals_.groupby(key).map_groups(stitch, batch_format="pandas")
+
+
+# ------------------------------------------------- rolling active users
+
+
+def wau_kernels(*, user_col: str = "user_id", ts_col: str = "ts",
+                window_days: int = 7, merge_shards: int = 64):
+    """(partial, final_shard) for the rolling-window active-user count
+    (DAU/WAU/MAU — the calendar-window cousin of the event-time
+    sessions above) — module-level so the
+    split→partial→shard-group→merge composition is property-testable
+    without a Ray session.
+
+    ``partial`` reduces a batch to its DISTINCT (user, epoch-day) pairs
+    (int64 days, the retention-query convention, so no timestamp
+    formatting drifts vs SQL) sharded by ``hash(user) % merge_shards``;
+    a user's pairs all land on one shard, so per-shard distinct counts
+    sum EXACTLY across shards. ``final_shard`` re-distincts its pairs,
+    expands each to the ``window_days`` report days it keeps the user
+    active for (a cross join against the 0..w-1 offset column — tiny),
+    and emits per-(report-day) distinct-user count partials. Report
+    days with no activity of their own are filtered AFTER the merge
+    (the result is calendar-bounded) against the days-present census.
+    """
+    import polars as pl
+
+    from ..functions.hashing import shard_series_i32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select([user_col, ts_col]))
+              .drop_nulls([user_col, ts_col]))
+        part = (df.with_columns(
+                    pl.col(ts_col).cast(pl.Date).cast(pl.Int64)
+                    .alias("day"))
+                .select([user_col, "day"]).unique())
+        return part.with_columns(
+            shard_series_i32(part, [user_col], merge_shards)).to_arrow()
+
+    offs = pl.DataFrame({"_off": pl.Series(
+        range(window_days), dtype=pl.Int64)})
+
+    def final_shard(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g).drop("_shard")
+              .unique([user_col, "day"]))
+        e = df.join(offs, how="cross").with_columns(
+            (pl.col("day") + pl.col("_off")).alias("report_day"))
+        out = (e.unique([user_col, "report_day"])
+               .group_by("report_day")
+               .agg(pl.len().cast(pl.Int64).alias("wau"))
+               .rename({"report_day": "day"}))
+        return out.select(["day", "wau"]).to_arrow()
+
+    return partial, final_shard
+
+
+def rolling_active_users(ds: Dataset, *, user_col: str = "user_id",
+                         ts_col: str = "ts", window_days: int = 7,
+                         merge_shards: int = 64) -> Dataset:
+    """(day, wau) per calendar day with any activity: the count of
+    distinct users active in the trailing ``window_days``-day window
+    [day - window_days + 1, day].
+
+    Scale shape: only distinct (user, day) PAIRS shuffle — bounded by
+    users × active days, far below event rows — in one
+    ``hash(user) % merge_shards`` exchange; the pairs stream is
+    materialized once for its two consumers (the day census and the
+    shard merge). The days-present census is per-block distinct days
+    (calendar-bounded at any corpus size) merged on the driver and the
+    final filter streams over the tiny merged (day, wau) table.
+    """
+    import ray
+
+    from .aggregate import grouped_sum
+
+    partial, final_shard = wau_kernels(
+        user_col=user_col, ts_col=ts_col, window_days=window_days,
+        merge_shards=merge_shards)
+    pairs = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as pc
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.unique(batch.column("day"))})
+
+    day_chunks = [b.column("day").to_numpy(zero_copy_only=False)
+                  for b in pairs.select_columns(["day"])
+                  .map_batches(day_partial, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")]
+    present = np.unique(np.concatenate(day_chunks)) if day_chunks \
+        else np.zeros(0, np.int64)
+    present_ref = ray.put(present)
+
+    shard_counts = pairs.groupby("_shard").map_groups(
+        final_shard, batch_format="pyarrow")
+    merged = grouped_sum(shard_counts, ["day"], "wau", alias="wau")
+
+    def keep_present(batch: pa.Table) -> pa.Table:
+        days = ray.get(present_ref)
+        mask = pa.array(np.isin(
+            as_combined(batch["day"]).to_numpy(zero_copy_only=False),
+            days))
+        return batch.filter(mask)
+
+    return merged.map_batches(keep_present, batch_format="pyarrow")
