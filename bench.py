@@ -171,6 +171,7 @@ def bench_queries() -> dict[str, float]:
         "rollup_docs",            # multi-level ROLLUP counts (r5)
         "wau_events",             # rolling 7-day active users (r5)
         "transitions_events",     # Markov transition mining (r5)
+        "dsir_select_docs",       # DSIR importance resampling (r5)
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -3313,6 +3313,48 @@ FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_dsir_select_docs(sf_dir: str):
+    """DSIR importance-resampling data selection
+    (`stages/dsir.py::dsir_select`, Xie et al. 2023): target = the
+    deterministic doc_id%13 slice (the decontaminate stand-in-benchmark
+    convention), features = md5-hashed unigrams into 4096 buckets,
+    weight = exact int64 Σ c_f·(⌊log2(n_t+1)⌋−⌊log2(n_r+1)⌋), top 25
+    raw docs by (weight DESC, doc_id). Corpus read twice (fit + score);
+    the ratio table is a fixed 4096-long broadcast; scoring is
+    shuffle-free with a per-batch top-k combiner."""
+    from ..stages.dsir import dsir_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dsir_select(ds, k=25, n_buckets=4096, target_mod=13,
+                       hash_mode="md5")
+
+
+SQL_DSIR_SELECT_DOCS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+), f AS (
+  SELECT doc_id, CAST(md5_number_lower(w) % 4096 AS BIGINT) AS b
+  FROM tok
+), nt AS (
+  SELECT b, COUNT(*) AS n FROM f WHERE doc_id % 13 = 0 GROUP BY b
+), nr AS (
+  SELECT b, COUNT(*) AS n FROM f WHERE doc_id % 13 <> 0 GROUP BY b
+), ratio AS (
+  SELECT b,
+         CAST(floor(log2(COALESCE(nt.n, 0) + 1)) AS BIGINT)
+       - CAST(floor(log2(COALESCE(nr.n, 0) + 1)) AS BIGINT) AS r
+  FROM nt FULL JOIN nr USING (b)
+)
+SELECT f.doc_id, CAST(SUM(ratio.r) AS BIGINT) AS weight
+FROM f JOIN ratio USING (b)
+WHERE f.doc_id % 13 <> 0
+GROUP BY f.doc_id
+ORDER BY weight DESC, doc_id
+LIMIT 25
+"""
+
+
 # ================================================================ registry
 
 # EXACTLY 50 entries — the driver's CORRECTNESS window runs the first
@@ -3323,6 +3365,7 @@ FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
 # covered, not driver-run).
 QUERIES = {
     # --- round-5 new ---
+    "dsir_select_docs": q_dsir_select_docs,
     "rollup_docs": q_rollup_docs,
     "wau_events": q_wau_events,
     "transitions_events": q_transitions_events,
@@ -3370,7 +3413,6 @@ QUERIES = {
     "inverted_index_docs": q_inverted_index_docs,
     "bloom_join": q_bloom_join,
     "asof_join_salted": q_asof_join_salted,
-    "profile_events": q_profile_events,
     "tcp_source_counts": q_tcp_source_counts,
     "ngram_jaccard_docs": q_ngram_jaccard_docs,
     # --- stable operator surface ---
@@ -3439,6 +3481,11 @@ EXTRA_QUERIES = {
     "range_join_events": q_range_join_events,
     "sliding_window_counts": q_sliding_window_counts,
     "dedup_broadcast_docs": q_dedup_broadcast_docs,
+    # profile_events (driver-proven r1-r4) cedes its slot to
+    # dsir_select_docs; its per-column partial/merge shape stays
+    # driver-proven via lineitem_agg's multi-agg partials (in-window),
+    # and the NaN/null census semantics stay pinned here
+    "profile_events": q_profile_events,
     # --- rotated OUT for round 5 (all driver-proven in r4 — and r1/r2
     # for the first four — ceding slots to the paid-back r4 debts, the
     # first-ever throttle driver row, and curate_docs_v2; rotate back
@@ -3508,6 +3555,7 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dsir_select_docs": SQL_DSIR_SELECT_DOCS,
     "rollup_docs": SQL_ROLLUP_DOCS,
     "wau_events": SQL_WAU_EVENTS,
     "transitions_events": SQL_TRANSITIONS_EVENTS,
