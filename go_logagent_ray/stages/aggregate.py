@@ -164,17 +164,26 @@ def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
     rollup: one row per distinct key tuple at EVERY prefix level
     (finest, each subtotal, grand total).
 
-    Scale shape: the stream is counted ONCE at the finest level
-    (``counts_by`` partials); every coarser level re-aggregates the
-    previous level's result — tiny, bounded by key cardinality — so the
-    rollup costs one pass + negligible reductions, never one pass per
-    level. Rolled-up columns are filled with caller ``sentinels``
-    (required, one per key) instead of SQL's NULL markers so downstream
-    grouping/hashing never meets a null key; rows with a genuine null in
-    any key column are excluded first (the sentinel would be ambiguous
+    Scale shape: ONE pass, ONE reduce — each batch emits
+    sentinel-padded count partials for every prefix level at once
+    (counts are additive, so a batch's level-L partial is just its
+    rows grouped by the L-prefix), and a single ``_tree_reduce`` over
+    the padded key space finishes all levels together. Per batch that
+    is ≤ levels × distinct-prefix rows (~2× the finest level), and no
+    level ever re-reads the corpus or adds an execution barrier — the
+    first cut cascaded grouped_sums level-by-level and paid one
+    materialize barrier per level.
+
+    Rolled-up columns are filled with caller ``sentinels`` (required,
+    one per key) instead of SQL's NULL markers so downstream
+    grouping/hashing never meets a null key. The sentinel must be
+    OUT-OF-DOMAIN for its column (a genuine value equal to it would
+    merge into the subtotal row); rows with a genuine null in any key
+    column are excluded first (the sentinel would be ambiguous
     otherwise — mirror with ``WHERE k IS NOT NULL`` + ``COALESCE`` in
     the oracle). The grand-total row is emitted even for empty input
-    (count 0 — SQL ROLLUP's documented behavior, verified in DuckDB).
+    (count 0 — SQL ROLLUP's documented behavior, verified in DuckDB),
+    via a seed partial unioned into the reduce.
     """
     import ray
 
@@ -183,54 +192,36 @@ def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
     if sentinels is None or set(sentinels) != set(keys):
         raise ValueError("pass one sentinel per key: sentinels={col: v}")
 
-    def drop_null_keys(batch: pa.Table) -> pa.Table:
-        return batch.select(keys).drop_null()
+    # explicit types: a zero-row group would otherwise infer null-typed
+    # sentinel columns and poison the reduce schema
+    sent_arrays = {k: (sentinels[k], pa.scalar(sentinels[k]).type)
+                   for k in keys}
 
-    base = counts_by(ds.map_batches(drop_null_keys,
-                                    batch_format="pyarrow"),
-                     keys, alias=alias, mode=mode)
+    def _padded(g: pa.Table, kept: list[str], counts: pa.Array) -> pa.Table:
+        cols = {}
+        for k in keys:
+            if k in kept:
+                cols[k] = g[k]
+            else:
+                v, t = sent_arrays[k]
+                cols[k] = pa.array([v] * len(counts), t)
+        cols[alias] = counts
+        return pa.table(cols)
 
-    def pad(kept: list[str]):
-        missing = [k for k in keys if k not in kept]
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys).drop_null()
+        out = []
+        for lvl in range(len(keys), 0, -1):
+            kept = keys[:lvl]
+            g = t.group_by(kept).aggregate([([], "count_all")])
+            out.append(_padded(g, kept, g["count_all"]))
+        out.append(_padded(t, [], pa.chunked_array(
+            [pa.array([t.num_rows], pa.int64())])))
+        return pa.concat_tables(out)
 
-        def fn(batch: pa.Table) -> pa.Table:
-            cols = {k: batch[k] for k in kept}
-            for k in missing:
-                # explicit type: a zero-row block would otherwise infer
-                # null-typed sentinels and poison the union schema
-                t = pa.scalar(sentinels[k]).type
-                cols[k] = pa.array([sentinels[k]] * batch.num_rows, t)
-            cols[alias] = batch[alias]
-            return pa.table(cols)
-
-        return fn
-
-    pieces = [base]
-    prev = base
-    for i in range(len(keys) - 1, 0, -1):
-        lvl = grouped_sum(prev, keys[:i], alias, alias=alias)
-        pieces.append(lvl.map_batches(pad(keys[:i]),
-                                      batch_format="pyarrow"))
-        prev = lvl
-
-    # grand total: a constant-key sum over the coarsest level, seeded
-    # with a zero row so empty input still yields the count-0 total row
-    def tag_one(batch: pa.Table) -> pa.Table:
-        return pa.table({"_one": pa.array([0] * batch.num_rows,
-                                          pa.int64()),
-                         alias: batch[alias]})
-
-    seed = ray.data.from_arrow(pa.table({
-        "_one": pa.array([0], pa.int64()),
-        alias: pa.array([0], pa.int64())}))
-    total = grouped_sum(prev.map_batches(tag_one, batch_format="pyarrow")
-                        .union(seed), ["_one"], alias, alias=alias)
-    pieces.append(total.map_batches(pad([]), batch_format="pyarrow"))
-
-    def order_cols(batch: pa.Table) -> pa.Table:
-        return batch.select(keys + [alias])
-
-    out = pieces[0].map_batches(order_cols, batch_format="pyarrow")
-    for p in pieces[1:]:
-        out = out.union(p.map_batches(order_cols, batch_format="pyarrow"))
-    return out
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    seed_cols = {k: pa.array([v], t) for k, (v, t) in sent_arrays.items()}
+    seed_cols[alias] = pa.array([0], pa.int64())
+    seed = ray.data.from_arrow(pa.table(seed_cols))
+    return _tree_reduce(parts.union(seed), keys, alias, mode)
