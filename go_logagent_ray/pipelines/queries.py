@@ -3181,20 +3181,13 @@ def q_retention_users_events(sf_dir: str):
     between the Ray and SQL sides."""
     import polars as pl
 
-    from ..functions.hashing import shard_series_i32
     from ..stages.aggregate import grouped_sum
+    from ..stages.window import user_day_pairs_partial
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     merge_shards = 64
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = (pl.from_arrow(batch.select(["user_id", "ts"]))
-              .drop_nulls(["user_id", "ts"]))
-        part = (df.with_columns(
-                    pl.col("ts").cast(pl.Date).cast(pl.Int64).alias("day"))
-                .select(["user_id", "day"]).unique())
-        return part.with_columns(
-            shard_series_i32(part, ["user_id"], merge_shards)).to_arrow()
+    # THE shared user-activity partial (also drives rolling_active_users)
+    partial = user_day_pairs_partial(merge_shards=merge_shards)
 
     def final_shard(g: pa.Table) -> pa.Table:
         df = (pl.from_arrow(g).drop("_shard")
@@ -3233,11 +3226,13 @@ GROUP BY 1, 2
 def q_rollup_docs(sf_dir: str):
     """Multi-level ROLLUP counts (`stages/aggregate.py::rollup_counts`):
     one row per (lang, source), per lang subtotal, and the grand total
-    — the dashboard drill-down rollup. The stream is counted once at
-    the finest level; each coarser level re-aggregates the previous
-    (tiny, key-cardinality-bounded) result, so the rollup costs one
-    pass regardless of depth. Sentinels 'ALL' stand in for SQL's NULL
-    rollup markers (mirrored with COALESCE in the oracle)."""
+    — the dashboard drill-down rollup. One corpus pass, one reduce:
+    each batch runs the level cascade locally (finest hash-aggregate,
+    then each coarser level re-aggregates the previous level's
+    key-bounded result) and a single tree reduce over the
+    sentinel-padded key space finishes every level together. Sentinels
+    'ALL' stand in for SQL's NULL rollup markers (mirrored with
+    COALESCE in the oracle)."""
     from ..stages.aggregate import rollup_counts
 
     ds = _read(sf_dir, "documents", ["lang", "source"])

@@ -192,31 +192,42 @@ def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
     if sentinels is None or set(sentinels) != set(keys):
         raise ValueError("pass one sentinel per key: sentinels={col: v}")
 
-    # explicit types: a zero-row group would otherwise infer null-typed
-    # sentinel columns and poison the reduce schema
+    # the OUTPUT key dtype is the sentinel's Arrow-inferred type (str →
+    # string, int → int64): every level's key columns — including the
+    # finest — are cast to it, so all partials and the seed share ONE
+    # schema regardless of the input's width (int32/large_string/dict
+    # keys upcast; an impossible cast fails loudly). Explicit types also
+    # keep zero-row groups from inferring null-typed sentinel columns.
     sent_arrays = {k: (sentinels[k], pa.scalar(sentinels[k]).type)
                    for k in keys}
 
-    def _padded(g: pa.Table, kept: list[str], counts: pa.Array) -> pa.Table:
+    def _padded(g: pa.Table, kept: list[str], counts) -> pa.Table:
         cols = {}
         for k in keys:
+            v, t = sent_arrays[k]
             if k in kept:
-                cols[k] = g[k]
+                cols[k] = g[k].cast(t)
             else:
-                v, t = sent_arrays[k]
                 cols[k] = pa.array([v] * len(counts), t)
         cols[alias] = counts
         return pa.table(cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(keys).drop_null()
-        out = []
-        for lvl in range(len(keys), 0, -1):
+        # finest level: one full-batch hash aggregation; every coarser
+        # level re-aggregates the PREVIOUS level's result (bounded by
+        # its key cardinality, not batch rows) — the level cascade runs
+        # per batch, so depth adds only tiny re-reductions
+        g = _rename(t.group_by(keys).aggregate([([], "count_all")]),
+                    keys, alias)
+        out = [_padded(g, keys, g[alias])]
+        for lvl in range(len(keys) - 1, 0, -1):
             kept = keys[:lvl]
-            g = t.group_by(kept).aggregate([([], "count_all")])
-            out.append(_padded(g, kept, g["count_all"]))
-        out.append(_padded(t, [], pa.chunked_array(
-            [pa.array([t.num_rows], pa.int64())])))
+            g = _rename(g.group_by(kept).aggregate([(alias, "sum")]),
+                        kept, alias)
+            out.append(_padded(g, kept, g[alias]))
+        total = pa.array([t.num_rows], pa.int64())
+        out.append(_padded(None, [], total))
         return pa.concat_tables(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",

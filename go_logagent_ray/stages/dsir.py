@@ -43,25 +43,20 @@ from ray.data import Dataset
 TARGET_MOD_DEFAULT = 13
 
 
-def _bucket_tokens(texts, n_buckets: int, hash_mode: str) -> "object":
-    """polars Series of token-bucket lists, one list per doc."""
+def _bucket_tokens(flat, n_buckets: int, hash_mode: str) -> "object":
+    """polars int64 Series of feature buckets for a FLAT token series
+    (already exploded — tokenization happens once, in `_tok_frame`)."""
     import polars as pl
 
-    toks = texts.str.split(" ")
     if hash_mode == "md5":
         from ..functions.hashing import md5_number_lower
 
-        flat = toks.explode()
-        vals = flat.to_numpy()
-        buckets = (md5_number_lower(vals) % np.uint64(n_buckets)) \
-            .astype(np.int64)
-        # np.unique in md5_number_lower treats None as a distinct value;
-        # null tokens only arise from null texts, filtered by callers
+        buckets = (md5_number_lower(flat.to_numpy())
+                   % np.uint64(n_buckets)).astype(np.int64)
         return pl.Series(buckets)
     if hash_mode == "fast":
         from ..functions.hashing import stable_hash64
 
-        flat = toks.explode()
         return pl.Series(
             (stable_hash64(flat, seed=0) % np.uint64(n_buckets))
             .astype(np.int64))
@@ -81,15 +76,20 @@ def dsir_kernels(*, id_field: str = "doc_id", text_field: str = "text",
     import polars as pl
 
     def _tok_frame(batch: pa.Table) -> "pl.DataFrame":
+        # null ids are excluded like null texts: the oracle's
+        # ``id % mod = 0`` / ``<> 0`` predicates are both NULL-false, so
+        # a null-id doc belongs to NEITHER distribution — and a null in
+        # the id column would also coerce to_numpy to float64 and break
+        # the int64 output schema
         df = (pl.from_arrow(batch.select([id_field, text_field]))
-              .filter(pl.col(text_field).is_not_null()))
+              .drop_nulls([id_field, text_field]))
         if not df.height:
             return pl.DataFrame({id_field: pl.Series([], dtype=pl.Int64),
                                  "_b": pl.Series([], dtype=pl.Int64)})
         ids = df[id_field].to_numpy()
         toks = df[text_field].str.split(" ")
         lens = toks.list.len().to_numpy().astype(np.int64)
-        buckets = _bucket_tokens(df[text_field], n_buckets, hash_mode)
+        buckets = _bucket_tokens(toks.explode(), n_buckets, hash_mode)
         return pl.DataFrame({id_field: pl.Series(np.repeat(ids, lens)),
                              "_b": buckets})
 
@@ -139,8 +139,9 @@ def dsir_select(ds: Dataset, *, id_field: str = "doc_id",
                 target_mod: int = TARGET_MOD_DEFAULT,
                 hash_mode: str = "md5") -> Dataset:
     """Top-``k`` raw-pool docs by DSIR importance weight:
-    (id, weight), weight DESC then id ASC. Docs with null text carry no
-    features and are excluded (mirrored by the oracle's join)."""
+    (id, weight), weight DESC then id ASC. Docs with a null text (no
+    features) or a null id (in neither distribution — the oracle's
+    mod predicates are NULL-false) are excluded."""
     import ray
 
     from .aggregate import grouped_sum

@@ -296,6 +296,31 @@ def _session_windows_salted(ds: Dataset, key: str, ts: str, order: str,
 # ------------------------------------------------- rolling active users
 
 
+def user_day_pairs_partial(*, user_col: str = "user_id",
+                           ts_col: str = "ts", merge_shards: int = 64):
+    """Per-batch reduction to DISTINCT (user, epoch-day) pairs sharded
+    by ``hash(user) % merge_shards`` — THE user-activity partial shared
+    by rolling_active_users and the cohort-retention query (both
+    oracles mirror the same ``CAST(ts AS DATE)`` int64 epoch-day
+    convention; a day-derivation or shard-convention fix belongs HERE,
+    not at either call site). Null users/timestamps are excluded."""
+    import polars as pl
+
+    from ..functions.hashing import shard_series_i32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select([user_col, ts_col]))
+              .drop_nulls([user_col, ts_col]))
+        part = (df.with_columns(
+                    pl.col(ts_col).cast(pl.Date).cast(pl.Int64)
+                    .alias("day"))
+                .select([user_col, "day"]).unique())
+        return part.with_columns(
+            shard_series_i32(part, [user_col], merge_shards)).to_arrow()
+
+    return partial
+
+
 def wau_kernels(*, user_col: str = "user_id", ts_col: str = "ts",
                 window_days: int = 7, merge_shards: int = 64):
     """(partial, final_shard) for the rolling-window active-user count
@@ -317,17 +342,8 @@ def wau_kernels(*, user_col: str = "user_id", ts_col: str = "ts",
     """
     import polars as pl
 
-    from ..functions.hashing import shard_series_i32
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = (pl.from_arrow(batch.select([user_col, ts_col]))
-              .drop_nulls([user_col, ts_col]))
-        part = (df.with_columns(
-                    pl.col(ts_col).cast(pl.Date).cast(pl.Int64)
-                    .alias("day"))
-                .select([user_col, "day"]).unique())
-        return part.with_columns(
-            shard_series_i32(part, [user_col], merge_shards)).to_arrow()
+    partial = user_day_pairs_partial(
+        user_col=user_col, ts_col=ts_col, merge_shards=merge_shards)
 
     offs = pl.DataFrame({"_off": pl.Series(
         range(window_days), dtype=pl.Int64)})

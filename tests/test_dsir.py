@@ -138,6 +138,21 @@ def test_dsir_null_text_excluded(ray_session):
     assert out["doc_id"].tolist() == [2]
 
 
+def test_dsir_null_id_excluded_and_schema_stays_int64(ray_session):
+    """A null-id doc belongs to NEITHER distribution (the oracle's mod
+    predicates are NULL-false) and must not flip the id column to
+    float64 (review finding: polars to_numpy with nulls yields NaN)."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, None, 2], pa.int64()),
+                  "text": pa.array(["tgt tok", "tgt tok", "tgt tok"])})
+    out = dsir_select(rd.from_arrow(t), k=10, n_buckets=B,
+                      target_mod=3, hash_mode="md5").to_pandas()
+    assert out["doc_id"].tolist() == [2]
+    assert str(out["doc_id"].dtype) == "int64"
+    assert str(out["weight"].dtype) == "int64"
+
+
 def test_dsir_fast_mode_runs(ray_session):
     """Production hash mode: same shape/coverage, different buckets."""
     import ray.data as rd

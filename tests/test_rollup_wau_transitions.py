@@ -242,6 +242,24 @@ def test_rollup_null_keys_dropped(ray_session):
     assert got == {("en", "web"): 1, ("en", "ALL"): 1, ("ALL", "ALL"): 1}
 
 
+def test_rollup_narrow_and_large_key_types_upcast(ray_session):
+    """Key columns whose Arrow type differs from the sentinel's
+    inferred type (int32, large_string) are cast to the sentinel type
+    instead of crashing the per-batch concat — the output key dtype is
+    DEFINED by the sentinel (review finding: only string/int64 keys
+    happened to work)."""
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int32()),
+                  "s": pa.array(["a", "b", "b"], pa.large_string())})
+    out = _rollup(rd.from_arrow(t), ["k", "s"],
+                  {"k": -1, "s": "ALL"}).to_pandas()
+    got = {(r.k, r.s): int(r.n) for r in out.itertuples()}
+    assert got == {(1, "a"): 1, (1, "b"): 1, (2, "b"): 1,
+                   (1, "ALL"): 2, (2, "ALL"): 1, (-1, "ALL"): 3}
+    assert str(out["k"].dtype) == "int64"
+
+
 def test_rollup_requires_matching_sentinels(ray_session):
     import ray.data as rd
 
