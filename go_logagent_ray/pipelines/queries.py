@@ -3248,6 +3248,27 @@ GROUP BY ROLLUP (lang, source)
 """
 
 
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE counts (`stages/aggregate.py::cube_counts`): all
+    four (lang, source) subsets — the rollup's sibling that adds the
+    source-only subtotal. Same one-pass/one-reduce shape as
+    `rollup_docs`; every subset re-aggregates the per-batch full-key
+    aggregate."""
+    from ..stages.aggregate import cube_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return cube_counts(ds, ["lang", "source"], alias="n",
+                       sentinels={"lang": "ALL", "source": "ALL"})
+
+
+SQL_CUBE_DOCS = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY CUBE (lang, source)
+"""
+
+
 def q_wau_events(sf_dir: str):
     """Rolling 7-day active users
     (`stages/window.py::rolling_active_users`): per calendar day with
@@ -3463,6 +3484,9 @@ EXTRA_QUERIES = {
     "sorted_turns": q_sorted_turns,
     "session_windows_salted": q_session_windows_salted,
     "media_frames_docs": q_media_frames_docs,
+    # cube ⊂ grouping_sets_counts, the same machinery the in-window
+    # rollup_docs drives (rollup = prefix sets, cube = all subsets)
+    "cube_docs": q_cube_docs,
     # --- rotated OUT latest round 5 (driver-proven r2/r3/r4, ceding
     # slots to rollup/wau/transitions; rotate back by r7). In-window
     # proxies: dedup_broadcast's exact-dedup semantics stay
@@ -3552,6 +3576,7 @@ EXTRA_QUERIES = {
 ORACLE_SQL = {
     "dsir_select_docs": SQL_DSIR_SELECT_DOCS,
     "rollup_docs": SQL_ROLLUP_DOCS,
+    "cube_docs": SQL_CUBE_DOCS,
     "wau_events": SQL_WAU_EVENTS,
     "transitions_events": SQL_TRANSITIONS_EVENTS,
     "log_templates_docs": SQL_LOG_TEMPLATES_DOCS,

@@ -157,47 +157,51 @@ def grouped_topk(ds: Dataset, group_key: str, order_col: str,
     return parts.groupby(group_key).map_groups(final, batch_format="pandas")
 
 
-def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
-                  sentinels: dict | None = None,
-                  mode: str = "tree") -> Dataset:
-    """``GROUP BY ROLLUP(keys)`` counts — the multi-level dashboard
-    rollup: one row per distinct key tuple at EVERY prefix level
-    (finest, each subtotal, grand total).
+def grouping_sets_counts(ds: Dataset, keys: list[str],
+                         sets: list[list[str]], alias: str = "n", *,
+                         sentinels: dict | None = None,
+                         mode: str = "tree") -> Dataset:
+    """``GROUP BY GROUPING SETS(sets)`` counts — the general multi-level
+    aggregate behind ROLLUP (prefix sets) and CUBE (all subsets): one
+    row per distinct key tuple of each requested grouping set.
 
-    Scale shape: ONE pass, ONE reduce — each batch emits
-    sentinel-padded count partials for every prefix level at once
-    (counts are additive, so a batch's level-L partial is just its
-    rows grouped by the L-prefix), and a single ``_tree_reduce`` over
-    the padded key space finishes all levels together. Per batch that
-    is ≤ levels × distinct-prefix rows (~2× the finest level), and no
-    level ever re-reads the corpus or adds an execution barrier — the
-    first cut cascaded grouped_sums level-by-level and paid one
-    materialize barrier per level.
+    Scale shape: ONE pass, ONE reduce — each batch aggregates ONCE at
+    the full-key level, re-aggregates that key-cardinality-bounded
+    result per requested set (counts are additive), and emits
+    sentinel-padded partials for every set at once; a single
+    ``_tree_reduce`` over the padded key space finishes all sets
+    together. Per batch that is ≤ Σ per-set distinct rows, and no set
+    ever re-reads the corpus or adds an execution barrier.
 
     Rolled-up columns are filled with caller ``sentinels`` (required,
     one per key) instead of SQL's NULL markers so downstream
     grouping/hashing never meets a null key. The sentinel must be
     OUT-OF-DOMAIN for its column (a genuine value equal to it would
-    merge into the subtotal row); rows with a genuine null in any key
-    column are excluded first (the sentinel would be ambiguous
-    otherwise — mirror with ``WHERE k IS NOT NULL`` + ``COALESCE`` in
-    the oracle). The grand-total row is emitted even for empty input
-    (count 0 — SQL ROLLUP's documented behavior, verified in DuckDB),
-    via a seed partial unioned into the reduce.
+    merge into the subtotal row) and DEFINES the output key dtype:
+    every set's key columns — including the finest — are cast to the
+    sentinel's Arrow-inferred type, so all partials share one schema
+    regardless of the input's width (int32/large_string/dict keys
+    upcast; an impossible cast fails loudly). Rows with a genuine null
+    in any key column are excluded first (mirror with ``WHERE k IS NOT
+    NULL`` + ``COALESCE`` in the oracle). If the empty set (grand
+    total) is requested, its row is emitted even for empty input
+    (count 0 — SQL's documented behavior, verified in DuckDB) via a
+    seed partial unioned into the reduce.
     """
     import ray
 
     if not keys:
-        raise ValueError("rollup_counts needs at least one key")
+        raise ValueError("grouping_sets_counts needs at least one key")
     if sentinels is None or set(sentinels) != set(keys):
         raise ValueError("pass one sentinel per key: sentinels={col: v}")
+    norm = []
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of keys")
+        norm.append([k for k in keys if k in s])  # canonical key order
+    if len({tuple(s) for s in norm}) != len(norm):
+        raise ValueError("duplicate grouping sets")
 
-    # the OUTPUT key dtype is the sentinel's Arrow-inferred type (str →
-    # string, int → int64): every level's key columns — including the
-    # finest — are cast to it, so all partials and the seed share ONE
-    # schema regardless of the input's width (int32/large_string/dict
-    # keys upcast; an impossible cast fails loudly). Explicit types also
-    # keep zero-row groups from inferring null-typed sentinel columns.
     sent_arrays = {k: (sentinels[k], pa.scalar(sentinels[k]).type)
                    for k in keys}
 
@@ -214,25 +218,55 @@ def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(keys).drop_null()
-        # finest level: one full-batch hash aggregation; every coarser
-        # level re-aggregates the PREVIOUS level's result (bounded by
-        # its key cardinality, not batch rows) — the level cascade runs
-        # per batch, so depth adds only tiny re-reductions
+        # one full-batch hash aggregation; every requested set
+        # re-aggregates this key-bounded result, never the raw batch
         g = _rename(t.group_by(keys).aggregate([([], "count_all")]),
                     keys, alias)
-        out = [_padded(g, keys, g[alias])]
-        for lvl in range(len(keys) - 1, 0, -1):
-            kept = keys[:lvl]
-            g = _rename(g.group_by(kept).aggregate([(alias, "sum")]),
-                        kept, alias)
-            out.append(_padded(g, kept, g[alias]))
-        total = pa.array([t.num_rows], pa.int64())
-        out.append(_padded(None, [], total))
+        out = []
+        for kept in norm:
+            if kept == keys:
+                out.append(_padded(g, keys, g[alias]))
+            elif kept:
+                lv = _rename(g.group_by(kept).aggregate([(alias, "sum")]),
+                             kept, alias)
+                out.append(_padded(lv, kept, lv[alias]))
+            else:
+                out.append(_padded(None, [], pa.array([t.num_rows],
+                                                      pa.int64())))
         return pa.concat_tables(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=None)
-    seed_cols = {k: pa.array([v], t) for k, (v, t) in sent_arrays.items()}
-    seed_cols[alias] = pa.array([0], pa.int64())
-    seed = ray.data.from_arrow(pa.table(seed_cols))
-    return _tree_reduce(parts.union(seed), keys, alias, mode)
+    if [] in norm:
+        seed_cols = {k: pa.array([v], t)
+                     for k, (v, t) in sent_arrays.items()}
+        seed_cols[alias] = pa.array([0], pa.int64())
+        parts = parts.union(ray.data.from_arrow(pa.table(seed_cols)))
+    return _tree_reduce(parts, keys, alias, mode)
+
+
+def rollup_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
+                  sentinels: dict | None = None,
+                  mode: str = "tree") -> Dataset:
+    """``GROUP BY ROLLUP(keys)`` counts: the prefix grouping sets —
+    finest, each prefix subtotal, grand total. See
+    `grouping_sets_counts` for the one-pass/one-reduce scale shape and
+    the sentinel contract."""
+    sets = [list(keys[:i]) for i in range(len(keys), -1, -1)]
+    return grouping_sets_counts(ds, keys, sets, alias,
+                                sentinels=sentinels, mode=mode)
+
+
+def cube_counts(ds: Dataset, keys: list[str], alias: str = "n", *,
+                sentinels: dict | None = None,
+                mode: str = "tree") -> Dataset:
+    """``GROUP BY CUBE(keys)`` counts: ALL 2^d key subsets (use small
+    d; every subset re-aggregates the one full-key aggregate, so depth
+    costs partial rows, not corpus passes). See `grouping_sets_counts`
+    for the scale shape and sentinel contract."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_counts(ds, keys, sets, alias,
+                                sentinels=sentinels, mode=mode)

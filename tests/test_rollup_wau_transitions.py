@@ -270,6 +270,48 @@ def test_rollup_requires_matching_sentinels(ray_session):
         _rollup(rd.from_arrow(t), [], {})
 
 
+def test_cube_matches_pandas_reference(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.aggregate import cube_counts
+
+    rng = np.random.default_rng(3)
+    langs = rng.choice(["en", "de"], 100).tolist()
+    srcs = rng.choice(["web", "chat", "mail"], 100).tolist()
+    t = pa.table({"lang": pa.array(langs), "source": pa.array(srcs)})
+    out = cube_counts(rd.from_arrow(t), ["lang", "source"],
+                      sentinels={"lang": "ALL", "source": "ALL"}) \
+        .to_pandas()
+    df = pd.DataFrame({"lang": langs, "source": srcs})
+    exp = {(l, s): n for (l, s), n
+           in df.groupby(["lang", "source"]).size().items()}
+    exp |= {(l, "ALL"): n for l, n in df.groupby("lang").size().items()}
+    exp |= {("ALL", s): n for s, n in df.groupby("source").size().items()}
+    exp[("ALL", "ALL")] = len(df)
+    got = {(r.lang, r.source): int(r.n) for r in out.itertuples()}
+    assert got == exp
+
+
+def test_grouping_sets_validation(ray_session):
+    import ray.data as rd
+
+    from go_logagent_ray.stages.aggregate import grouping_sets_counts
+
+    t = pa.table({"a": pa.array(["x"]), "b": pa.array(["y"])})
+    ds = rd.from_arrow(t)
+    sent = {"a": "ALL", "b": "ALL"}
+    with pytest.raises(ValueError, match="not a subset"):
+        grouping_sets_counts(ds, ["a", "b"], [["c"]], sentinels=sent)
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_counts(ds, ["a", "b"], [["a"], ["a"]],
+                             sentinels=sent)
+    # without the empty set no grand-total row (and no seed) appears
+    out = grouping_sets_counts(ds, ["a", "b"], [["a", "b"], ["a"]],
+                               sentinels=sent).to_pandas()
+    got = {(r.a, r.b): int(r.n) for r in out.itertuples()}
+    assert got == {("x", "y"): 1, ("x", "ALL"): 1}
+
+
 # ------------------------------------------------------- config registry
 
 
