@@ -253,6 +253,33 @@ def _rollup(conf: dict):
     return DatasetStage(lambda ds: rollup_counts(ds, **kw)), {}
 
 
+@register_stage("wau")
+def _wau(conf: dict):
+    """Rolling active users — REPLACES the stream with one (day, wau)
+    row per active calendar day; terminal analytics stage."""
+    from .stages.window import rolling_active_users
+
+    kw = dict(user_col=conf["user"], ts_col=conf["ts"],
+              window_days=int(conf.get("window_days", 7)),
+              merge_shards=int(conf.get("merge_shards", 64)))
+    return DatasetStage(lambda ds: rolling_active_users(ds, **kw)), {}
+
+
+@register_stage("dsir")
+def _dsir(conf: dict):
+    """DSIR importance-resampling selection — REPLACES the stream with
+    the top-k raw-pool (id, weight) rows; terminal selector stage."""
+    from .stages.dsir import dsir_select
+
+    kw = dict(id_field=conf.get("id", "doc_id"),
+              text_field=conf.get("field", "text"),
+              k=int(conf.get("k", 25)),
+              n_buckets=int(conf.get("n_buckets", 4096)),
+              target_mod=int(conf.get("target_mod", 13)),
+              hash_mode=conf.get("hash_mode", "fast"))
+    return DatasetStage(lambda ds: dsir_select(ds, **kw)), {}
+
+
 @register_stage("sample")
 def _sample(conf: dict):
     """Deterministic keep-percent filter (reproducible sampling)."""

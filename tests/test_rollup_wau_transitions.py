@@ -338,6 +338,44 @@ def test_config_transitions_stage(ray_session):
     assert rows == {("a", "b"): 2}
 
 
+def test_config_wau_stage(ray_session):
+    from go_logagent_ray.config import Pipeline
+
+    from datetime import datetime
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"u": 1, "ts": datetime(2024, 1, 1, 5)},
+            {"u": 2, "ts": datetime(2024, 1, 1, 9)},
+            {"u": 1, "ts": datetime(2024, 1, 3)},
+        ]},
+        "filters": [{"type": "wau", "user": "u", "ts": "ts",
+                     "window_days": 7, "merge_shards": 2}],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    rows = {r["day"]: r["wau"] for r in p.transform(p.read()).take_all()}
+    d0 = 19723  # 2024-01-01 epoch day
+    assert rows == {d0: 2, d0 + 2: 2}
+
+
+def test_config_dsir_stage(ray_session):
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"doc_id": i, "text": f"w{i % 3} common"} for i in range(9)
+        ]},
+        "filters": [{"type": "dsir", "k": 3, "n_buckets": 64,
+                     "target_mod": 3, "hash_mode": "md5"}],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    rows = p.transform(p.read()).take_all()
+    assert len(rows) == 3
+    assert all(r["doc_id"] % 3 != 0 for r in rows)
+
+
 def test_config_rollup_stage(ray_session):
     from go_logagent_ray.config import Pipeline
 
