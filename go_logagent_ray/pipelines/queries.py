@@ -352,6 +352,59 @@ WHERE jaccard(a.text, b.text) >= 0.95
 """
 
 
+_PAGERANK_K = 25
+_PAGERANK_ITERS = 3
+_PAGERANK_SCALE = 10**9
+
+
+def q_pagerank_docs(sf_dir: str):
+    """Fixed-point-integer PageRank centrality over the charset-Jaccard
+    near-dup graph (`stages/pagerank.py`): top-25 most-central docs —
+    the connectivity-based canonical-member election for dup clusters
+    (complement of dedup_cluster_docs' min-id election). Iterative
+    shape: degree attach + 3 power iterations, each ONE hash-sharded
+    co-group + ONE grouped sum; no broadcast, no driver collect. The
+    oracle replays the identical integer recurrence as 3 unrolled
+    CTEs over the same jaccard(a,b) pair CTE."""
+    from ..stages.pagerank import pagerank_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    pairs = charset_jaccard_pairs(ds, ["lang", "source"], threshold=0.95) \
+        .select_columns(["doc_a", "doc_b"])
+    return pagerank_topk(pairs, k=_PAGERANK_K, iterations=_PAGERANK_ITERS,
+                         scale=_PAGERANK_SCALE)
+
+
+def _sql_pagerank_docs() -> str:
+    base = 3 * _PAGERANK_SCALE // 20
+    it = """r{i} AS (
+  SELECT e.dst AS node,
+         CAST({base} + SUM((r.r * 17) // (20 * e.deg)) AS BIGINT) AS r
+  FROM edges_deg e JOIN r{p} r ON r.node = e.src GROUP BY e.dst)"""
+    iters = ",\n".join(it.format(i=i, p=i - 1, base=base)
+                       for i in range(1, _PAGERANK_ITERS + 1))
+    return f"""
+WITH pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE jaccard(a.text, b.text) >= 0.95),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src),
+edges_deg AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+r0 AS (SELECT src AS node, CAST({_PAGERANK_SCALE} AS BIGINT) AS r FROM deg),
+{iters}
+SELECT node AS doc_id, r AS rank_q FROM r{_PAGERANK_ITERS}
+ORDER BY rank_q DESC, doc_id ASC
+LIMIT {_PAGERANK_K}
+"""
+
+
+SQL_PAGERANK_DOCS = _sql_pagerank_docs()
+
+
 def q_langid_docs(sf_dir: str):
     """Language-ID heuristic vs labeled lang: confusion counts,
     ORACLE-CHECKED — the heuristic is deterministic regex counting plus
@@ -2309,6 +2362,70 @@ LIMIT 50
 """
 
 
+# the BM25 retrieval constants — ONE list feeds the Ray query AND the
+# generated SQL oracle so the two sides cannot drift ("dup" is the
+# corpus's one rare term, the middle three are common with distinct
+# df, "nosuchterm" pins the df=0 / tf=0 path)
+_BM25_TERMS = ["dup", "merge", "hash", "window", "nosuchterm"]
+_BM25_K = 25
+_BM25_SCALE = 1000
+
+
+def q_bm25_docs(sf_dir: str):
+    """BM25 ranked retrieval (Robertson's Okapi BM25, exact-integer
+    oracle-parity mode — `stages/bm25.py`): top-25 docs by relevance to
+    a fixed query. Two-pass shape: a |query|+2-counter corpus census
+    (N, total tokens, per-term df — the only driver collect, bounded by
+    the QUERY size), then vectorized integer scoring with per-batch
+    top-k pruning before the global sort+limit. Subsumes
+    doc_freq_terms' df semantics (its CTE is embedded in this oracle)
+    and the O2 sort+limit shape."""
+    from ..stages.bm25 import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=_BM25_K, scale=_BM25_SCALE)
+
+
+def _sql_bm25_docs() -> str:
+    vals = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    # integer-exact BM25 with k1=6/5, b=3/4 and the linear rarity
+    # weight w = N - df: per-term score (scaled, floored) is
+    #   (22·w·tf·T·scale) // (10·tf·T + 3·T + 9·dl·N)
+    # — the same expression stages/bm25.py computes in int64 numpy
+    return f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+  FROM documents WHERE text IS NOT NULL),
+q(term) AS (VALUES {vals}),
+dfx AS (
+  SELECT q.term, CAST(COUNT(d.doc_id) AS BIGINT) AS df
+  FROM q LEFT JOIN (SELECT DISTINCT doc_id,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents WHERE text IS NOT NULL) d USING (term)
+  GROUP BY q.term),
+tf AS (
+  SELECT d.doc_id, q.term,
+         CAST(len(list_filter(string_split(d.text, ' '),
+                              x -> x = q.term)) AS BIGINT) AS tf,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dl
+  FROM documents d CROSS JOIN q WHERE d.text IS NOT NULL),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM((22 * (s.n - dfx.df) * tf.tf * s.t * {_BM25_SCALE})
+              // (10 * tf.tf * s.t + 3 * s.t + 9 * tf.dl * s.n))
+              AS BIGINT) AS score_q
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, score_q FROM scored
+ORDER BY score_q DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+SQL_BM25_DOCS = _sql_bm25_docs()
+
+
 def q_pack_docs(sf_dir: str):
     """Sequence packing: greedy token-budget (256) bin assignment in
     doc_id order within 64-doc pack groups (`stages/pack.py`).  Only
@@ -3381,6 +3498,8 @@ LIMIT 25
 # covered, not driver-run).
 QUERIES = {
     # --- round-5 new ---
+    "bm25_docs": q_bm25_docs,
+    "pagerank_docs": q_pagerank_docs,
     "dsir_select_docs": q_dsir_select_docs,
     "rollup_docs": q_rollup_docs,
     "wau_events": q_wau_events,
@@ -3420,7 +3539,6 @@ QUERIES = {
     "dedup_cluster_docs": q_dedup_cluster_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "chunk_docs": q_chunk_docs,
-    "doc_freq_terms": q_doc_freq_terms,
     "pack_docs": q_pack_docs,
     "pii_redact_docs": q_pii_redact_docs,
     "stratified_sample_docs": q_stratified_sample_docs,
@@ -3430,7 +3548,6 @@ QUERIES = {
     "bloom_join": q_bloom_join,
     "asof_join_salted": q_asof_join_salted,
     "tcp_source_counts": q_tcp_source_counts,
-    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     # --- stable operator surface ---
     "grok_parse_events": q_grok_parse_events,
     "route_events": q_route_events,
@@ -3471,6 +3588,15 @@ QUERIES = {
 # in-window incremental_dedup_docs, the stateful EP2 analog, freeing a
 # slot for bpe_merges_docs). Still run by the local pytest oracle gate.
 EXTRA_QUERIES = {
+    # --- rotated OUT latest round 5 (driver-proven r2/r3/r4 both,
+    # ceding slots to bm25_docs and pagerank_docs). In-window proxies:
+    # doc_freq's distinct-doc-per-term df CTE is EMBEDDED verbatim in
+    # the bm25 oracle (and its sort+limit O2 shape ⊂ bm25/pagerank's
+    # topk_rows); ngram_jaccard's shingle+band+verify machinery ⊂ the
+    # in-window minhash_pairs_docs (shared shingling) with the
+    # charset-Jaccard pair miner driver-proven inside pagerank_docs ---
+    "doc_freq_terms": q_doc_freq_terms,
+    "ngram_jaccard_docs": q_ngram_jaccard_docs,
     # --- rotated OUT late round 5 (driver-proven r2–r4, ceding slots
     # to the new template-mining / contamination-overlap / retention
     # operators; rotate back by r7). In-window proxies: sorted_turns'
@@ -3574,6 +3700,8 @@ EXTRA_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "bm25_docs": SQL_BM25_DOCS,
+    "pagerank_docs": SQL_PAGERANK_DOCS,
     "dsir_select_docs": SQL_DSIR_SELECT_DOCS,
     "rollup_docs": SQL_ROLLUP_DOCS,
     "cube_docs": SQL_CUBE_DOCS,

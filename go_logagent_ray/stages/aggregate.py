@@ -122,6 +122,31 @@ def fused_counts(ds: Dataset, key_sets: dict[str, list[str]], alias: str = "n",
     return _tree_reduce(partials, ["_agg"] + all_keys, alias, mode)
 
 
+def topk_rows(ds: Dataset, order_col: str, id_col: str,
+              k: int = 25) -> Dataset:
+    """GLOBAL top-k rows under the total order (order_col DESC, id_col
+    ASC) — the ungrouped sibling of ``grouped_topk``, for ranked
+    retrieval results (BM25, PageRank centrality).
+
+    Scale shape: each batch first prunes to its OWN top-k under the
+    same total order (a combiner: any row in the global top-k is in
+    its batch's top-k), so the final sort+limit runs over ≤ k × blocks
+    rows, never the corpus. Rows with a null order or id value are
+    excluded (SQL ORDER BY ... LIMIT ranking over non-null keys).
+    """
+    import polars as pl
+
+    cols = [order_col, id_col]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(cols)).drop_nulls(cols)
+        return (df.sort(cols, descending=[True, False]).head(k)
+                .to_arrow().cast(batch.select(cols).schema))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return pruned.sort(cols, descending=[True, False]).limit(k)
+
+
 def grouped_topk(ds: Dataset, group_key: str, order_col: str,
                  id_col: str, k: int = 5) -> Dataset:
     """Per-group top-k rows under the total order (order_col DESC,

@@ -1,0 +1,187 @@
+"""PageRank centrality over an edge-pair Dataset (Brin & Page 1998 —
+public method) as a fixed-iteration, fixed-point-INTEGER power
+iteration, so the oracle is bit-exact (the repo's exact-mode
+convention: see bm25/_LM_SCORE_SPEC for the same pattern).
+
+Built for the near-dup graph the dedup family mines (charset-Jaccard /
+MinHash pairs): within a duplicate cluster, PageRank ranks members by
+connectivity, electing the most-central doc as the cluster's canonical
+representative — the centrality-based alternative to
+``cluster.py``'s min-id election. Not in the reference
+(tuhuayuan/go-logagent has no graph ops); first-class per the
+training-data mandate (iterative algorithms over mined structure).
+
+Spec (all integer, replayed verbatim by the SQL oracle):
+
+- nodes: every endpoint of ≥1 undirected pair, each direction
+  materialized as a directed edge; in-degree == out-degree ≥ 1, so no
+  dangling-mass handling is needed (the documented simplification vs
+  full PageRank — isolated docs simply don't participate).
+- r₀(v) = ``scale`` (unnormalized start — ranking is scale-free).
+- iteration: r′(v) = (3·scale)//20 + Σ_{u→v} (r(u)·17) // (20·deg(u))
+  — damping d = 17/20 = 0.85 and teleport (1−d)·scale = 3·scale//20,
+  with FLOOR division at each edge (the fixed-point contract both
+  engines compute identically; non-negative throughout, and ranks are
+  bounded by base + (17/20)·n·scale so int64 holds to ~10¹⁰ nodes at
+  the default scale).
+
+Scale shape — no broadcast, no driver collect, at ANY graph size:
+
+- degrees: one grouped count over edge sources (partials combine
+  per batch first).
+- degree attach (once): edges and the degree table co-locate via ONE
+  hash-sharded union-groupby (``mix_shard_i64`` on src, the shared
+  co-group convention) and the join runs vectorized inside each shard.
+- per iteration: the rank table co-locates with the degree-carrying
+  edges the same way (shard by src), each shard pre-aggregates its
+  (dst, contribution) partials, and one grouped sum finishes — two
+  bounded shuffles per iteration, edge payload is 3 int64 columns.
+- result: global top-k via ``aggregate.topk_rows`` (per-batch prune).
+
+Iterations are FIXED (default 3) rather than convergence-tested:
+deterministic cost, deterministic oracle (3 unrolled CTEs), and rank
+ordering on near-dup clusters stabilizes within a few hops of the
+cluster diameter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.cogroup import SIDE_COL, pad_to_schema, split_sides
+from ..functions.hashing import mix_shard_i64
+from .aggregate import counts_by, grouped_sum, topk_rows
+
+DAMP_NUM, DAMP_DEN = 17, 20  # d = 0.85
+
+
+def _directed_edges(pairs: Dataset, src_field: str,
+                    dst_field: str) -> Dataset:
+    """Each undirected (a, b) pair as both directed edges (null
+    endpoints dropped — an edge needs two nodes)."""
+    def both(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.select([src_field, dst_field]).filter(
+            pc.and_(pc.is_valid(batch[src_field]),
+                    pc.is_valid(batch[dst_field])))
+        a = b[src_field].combine_chunks().cast(pa.int64())
+        c = b[dst_field].combine_chunks().cast(pa.int64())
+        return pa.table({"_src": pa.concat_arrays([a, c]),
+                         "_dst": pa.concat_arrays([c, a])})
+
+    return pairs.map_batches(both, batch_format="pyarrow")
+
+
+_UNION_TYPES = {"_src": pa.int64(), "_dst": pa.int64(),
+                "_deg": pa.int64(), "_r": pa.int64(),
+                "_shard": pa.int32()}
+
+
+def _sharded_cogroup(left: Dataset, right: Dataset, left_cols: list[str],
+                     right_cols: list[str], key: str, n_shards: int,
+                     fn) -> Dataset:
+    """Union-groupby co-group of two Datasets on int64 ``key`` hashed
+    into ``n_shards`` (the shared mix_shard_i64 convention); ``fn``
+    receives (left_tbl, right_tbl) per shard, already side-split."""
+    def tag(cols: list[str], side: int):
+        def add(batch: pa.Table) -> pa.Table:
+            ids = batch[key].to_numpy(zero_copy_only=False)
+            out = {c: batch[c].combine_chunks() for c in cols}
+            out["_shard"] = pa.array(mix_shard_i64(ids, n_shards))
+            return pad_to_schema(out, _UNION_TYPES, batch.num_rows, side)
+        return add
+
+    both = left.map_batches(tag(left_cols, 0), batch_format="pyarrow") \
+        .union(right.map_batches(tag(right_cols, 1),
+                                 batch_format="pyarrow"))
+
+    def run(g: pa.Table) -> pa.Table:
+        lt, rt = split_sides(g)
+        return fn(lt.select(left_cols), rt.select(right_cols))
+
+    return both.groupby("_shard").map_groups(run, batch_format="pyarrow")
+
+
+def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
+                  scale: int = 10**9, src_field: str = "doc_a",
+                  dst_field: str = "doc_b", id_out: str = "doc_id",
+                  rank_out: str = "rank_q",
+                  merge_shards: int = 64) -> Dataset:
+    """Top-k nodes of the undirected pair graph by fixed-point-integer
+    PageRank: (id_out, rank_out) rows under (rank DESC, id ASC). See
+    module docstring for the exact iteration spec the SQL oracle
+    replays."""
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    n_shards = max(1, int(merge_shards))
+
+    # materialized: edges feed BOTH the degree count and the degree
+    # attach (upstream pair mining must not re-execute per consumer),
+    # deg feeds BOTH the attach and r0 — each is bounded by edge/node
+    # count and spills to the object store at scale
+    edges = _directed_edges(pairs, src_field, dst_field).materialize()
+    # out-degree per source; "shuffle" mode — node cardinality is
+    # corpus-bound, so the one-block tree reduce is the wrong shape
+    deg = counts_by(edges, ["_src"], alias="_deg",
+                    mode="shuffle").materialize()
+
+    def attach_deg(e: pa.Table, d: pa.Table) -> pa.Table:
+        if e.num_rows == 0:
+            return pa.table({"_src": pa.array([], pa.int64()),
+                             "_dst": pa.array([], pa.int64()),
+                             "_deg": pa.array([], pa.int64())})
+        out = (pl.from_arrow(e).join(pl.from_arrow(d), on="_src",
+                                     how="inner")
+               .select(["_src", "_dst", "_deg"]))
+        return out.to_arrow().cast(
+            pa.schema([("_src", pa.int64()), ("_dst", pa.int64()),
+                       ("_deg", pa.int64())]))
+
+    # materialized once: every iteration re-reads the degree-carrying
+    # edge table (bounded by edge count; the object store spills it)
+    edges_deg = _sharded_cogroup(edges, deg, ["_src", "_dst"],
+                                 ["_src", "_deg"], "_src", n_shards,
+                                 attach_deg).materialize()
+
+    # r0: one row per node (deg doubles as the node table), rank=scale
+    ranks = deg.map_batches(
+        lambda b: pa.table({"_src": b["_src"].combine_chunks(),
+                            "_r": pa.array(
+                                np.full(b.num_rows, scale, np.int64))}),
+        batch_format="pyarrow")
+
+    def contrib(e: pa.Table, r: pa.Table) -> pa.Table:
+        empty = pa.table({"_dst": pa.array([], pa.int64()),
+                          "_c": pa.array([], pa.int64())})
+        if e.num_rows == 0 or r.num_rows == 0:
+            return empty
+        df = (pl.from_arrow(e).join(pl.from_arrow(r), on="_src",
+                                    how="inner")
+              .with_columns(((pl.col("_r") * DAMP_NUM)
+                             // (DAMP_DEN * pl.col("_deg"))).alias("_c"))
+              .group_by("_dst").agg(pl.col("_c").sum()))
+        return df.select(["_dst", "_c"]).to_arrow().cast(
+            pa.schema([("_dst", pa.int64()), ("_c", pa.int64())]))
+
+    for _ in range(max(1, int(iterations))):
+        summed = grouped_sum(
+            _sharded_cogroup(edges_deg, ranks, ["_src", "_dst", "_deg"],
+                             ["_src", "_r"], "_src", n_shards, contrib),
+            ["_dst"], "_c", alias="_c", mode="shuffle")
+        # every node has in-degree ≥ 1 (undirected doubling), so the
+        # summed table covers the full node set — no outer re-join
+        ranks = summed.map_batches(
+            lambda b: pa.table({
+                "_src": b["_dst"].combine_chunks(),
+                "_r": pa.array(base + b["_c"].to_numpy(
+                    zero_copy_only=False), pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    out = ranks.map_batches(
+        lambda b: pa.table({id_out: b["_src"].combine_chunks(),
+                            rank_out: b["_r"].combine_chunks()}),
+        batch_format="pyarrow")
+    return topk_rows(out, rank_out, id_out, k=k)
