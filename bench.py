@@ -172,6 +172,8 @@ def bench_queries() -> dict[str, float]:
         "wau_events",             # rolling 7-day active users (r5)
         "transitions_events",     # Markov transition mining (r5)
         "dsir_select_docs",       # DSIR importance resampling (r5)
+        "bm25_docs",              # BM25 ranked retrieval (r5)
+        "pagerank_docs",          # integer PageRank centrality (r5)
     ]
     out: dict[str, float] = {}
     for name in picks:

@@ -80,7 +80,11 @@ def corpus_stats(ds: Dataset, query_terms: list[str], *,
             .filter(pl.col(text_field).is_not_null()) \
             .with_columns(pl.col(text_field).str.split(" ").alias("_tk"))
         keys = [_N_KEY, _T_KEY]
-        vals = [df.height, int(df["_tk"].list.len().sum() or 0)]
+        # cast before summing: polars list.len() is UInt32 and its sum
+        # WRAPS silently past 2^32 tokens per batch — a wrapped T would
+        # corrupt every score with no error (the loud-gate contract)
+        vals = [df.height,
+                int(df["_tk"].list.len().cast(pl.Int64).sum() or 0)]
         if df.height:
             for t in terms:
                 keys.append(t)

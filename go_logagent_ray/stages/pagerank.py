@@ -51,8 +51,7 @@ import polars as pl
 import pyarrow as pa
 from ray.data import Dataset
 
-from ..functions.cogroup import SIDE_COL, pad_to_schema, split_sides
-from ..functions.hashing import mix_shard_i64
+from ..functions.cogroup import sharded_cogroup
 from .aggregate import counts_by, grouped_sum, topk_rows
 
 DAMP_NUM, DAMP_DEN = 17, 20  # d = 0.85
@@ -81,31 +80,6 @@ _UNION_TYPES = {"_src": pa.int64(), "_dst": pa.int64(),
                 "_shard": pa.int32()}
 
 
-def _sharded_cogroup(left: Dataset, right: Dataset, left_cols: list[str],
-                     right_cols: list[str], key: str, n_shards: int,
-                     fn) -> Dataset:
-    """Union-groupby co-group of two Datasets on int64 ``key`` hashed
-    into ``n_shards`` (the shared mix_shard_i64 convention); ``fn``
-    receives (left_tbl, right_tbl) per shard, already side-split."""
-    def tag(cols: list[str], side: int):
-        def add(batch: pa.Table) -> pa.Table:
-            ids = batch[key].to_numpy(zero_copy_only=False)
-            out = {c: batch[c].combine_chunks() for c in cols}
-            out["_shard"] = pa.array(mix_shard_i64(ids, n_shards))
-            return pad_to_schema(out, _UNION_TYPES, batch.num_rows, side)
-        return add
-
-    both = left.map_batches(tag(left_cols, 0), batch_format="pyarrow") \
-        .union(right.map_batches(tag(right_cols, 1),
-                                 batch_format="pyarrow"))
-
-    def run(g: pa.Table) -> pa.Table:
-        lt, rt = split_sides(g)
-        return fn(lt.select(left_cols), rt.select(right_cols))
-
-    return both.groupby("_shard").map_groups(run, batch_format="pyarrow")
-
-
 def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
                   scale: int = 10**9, src_field: str = "doc_a",
                   dst_field: str = "doc_b", id_out: str = "doc_id",
@@ -115,6 +89,11 @@ def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
     PageRank: (id_out, rank_out) rows under (rank DESC, id ASC). See
     module docstring for the exact iteration spec the SQL oracle
     replays."""
+    if int(iterations) < 1:
+        # fail loudly: a silently-clamped iteration count would desync
+        # from an oracle unrolled for the requested count
+        raise ValueError(
+            f"pagerank needs iterations >= 1, got {iterations}")
     base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
     n_shards = max(1, int(merge_shards))
 
@@ -142,9 +121,9 @@ def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
 
     # materialized once: every iteration re-reads the degree-carrying
     # edge table (bounded by edge count; the object store spills it)
-    edges_deg = _sharded_cogroup(edges, deg, ["_src", "_dst"],
-                                 ["_src", "_deg"], "_src", n_shards,
-                                 attach_deg).materialize()
+    edges_deg = sharded_cogroup(edges, deg, ["_src", "_dst"],
+                                ["_src", "_deg"], "_src", _UNION_TYPES,
+                                n_shards, attach_deg).materialize()
 
     # r0: one row per node (deg doubles as the node table), rank=scale
     ranks = deg.map_batches(
@@ -166,10 +145,11 @@ def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
         return df.select(["_dst", "_c"]).to_arrow().cast(
             pa.schema([("_dst", pa.int64()), ("_c", pa.int64())]))
 
-    for _ in range(max(1, int(iterations))):
+    for _ in range(int(iterations)):
         summed = grouped_sum(
-            _sharded_cogroup(edges_deg, ranks, ["_src", "_dst", "_deg"],
-                             ["_src", "_r"], "_src", n_shards, contrib),
+            sharded_cogroup(edges_deg, ranks, ["_src", "_dst", "_deg"],
+                            ["_src", "_r"], "_src", _UNION_TYPES,
+                            n_shards, contrib),
             ["_dst"], "_c", alias="_c", mode="shuffle")
         # every node has in-degree ≥ 1 (undirected doubling), so the
         # summed table covers the full node set — no outer re-join

@@ -132,6 +132,11 @@ def test_pagerank_single_iteration(ray_session):
     assert list(zip(got["doc_id"], got["rank_q"])) == ref
 
 
+def test_pagerank_rejects_zero_iterations(ray_session):
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_topk(_pairs_ds(), iterations=0)
+
+
 def test_pagerank_null_endpoints_dropped(ray_session):
     ds = rd.from_arrow(pa.table({
         "doc_a": pa.array([0, None, 2], pa.int64()),
