@@ -280,6 +280,38 @@ def _dsir(conf: dict):
     return DatasetStage(lambda ds: dsir_select(ds, **kw)), {}
 
 
+@register_stage("bm25")
+def _bm25(conf: dict):
+    """BM25 ranked retrieval — REPLACES the stream with the top-k
+    (id, score_q) rows for the configured query terms; terminal
+    retrieval stage."""
+    from .stages.bm25 import bm25_topk
+
+    kw = dict(query_terms=list(conf["query"]),
+              k=int(conf.get("k", 25)),
+              text_field=conf.get("field", "text"),
+              id_field=conf.get("id", "doc_id"),
+              scale=int(conf.get("scale", 1000)),
+              mode=conf.get("mode", "exact"))
+    return DatasetStage(lambda ds: bm25_topk(ds, **kw)), {}
+
+
+@register_stage("pagerank")
+def _pagerank(conf: dict):
+    """PageRank centrality — consumes a PAIR stream (doc_a, doc_b by
+    default) and REPLACES it with the top-k (doc_id, rank_q) rows;
+    terminal graph-analytics stage."""
+    from .stages.pagerank import pagerank_topk
+
+    kw = dict(k=int(conf.get("k", 25)),
+              iterations=int(conf.get("iterations", 3)),
+              scale=int(conf.get("scale", 10**9)),
+              src_field=conf.get("src", "doc_a"),
+              dst_field=conf.get("dst", "doc_b"),
+              merge_shards=int(conf.get("merge_shards", 64)))
+    return DatasetStage(lambda ds: pagerank_topk(ds, **kw)), {}
+
+
 @register_stage("sample")
 def _sample(conf: dict):
     """Deterministic keep-percent filter (reproducible sampling)."""

@@ -144,3 +144,35 @@ def test_pagerank_null_endpoints_dropped(ray_session):
     got = pagerank_topk(ds, k=10, iterations=2).to_pandas()
     ref = _ref_pagerank([(0, 1)], iterations=2)
     assert list(zip(got["doc_id"], got["rank_q"])) == ref
+
+
+def test_config_bm25_stage(ray_session):
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"doc_id": i, "text": t} for i, t in DOCS if t is not None
+        ]},
+        "filters": [{"type": "bm25", "query": ["a", "c", "zz"], "k": 4}],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    rows = [(r["doc_id"], r["score_q"])
+            for r in p.transform(p.read()).take_all()]
+    assert rows == _ref_bm25(["a", "c", "zz"], k=4)
+
+
+def test_config_pagerank_stage(ray_session):
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"doc_a": a, "doc_b": b} for a, b in PAIRS
+        ]},
+        "filters": [{"type": "pagerank", "k": 20, "merge_shards": 2}],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    rows = [(r["doc_id"], r["rank_q"])
+            for r in p.transform(p.read()).take_all()]
+    assert rows == _ref_pagerank(PAIRS)[:20]
