@@ -57,6 +57,23 @@ from .aggregate import counts_by, grouped_sum, topk_rows
 DAMP_NUM, DAMP_DEN = 17, 20  # d = 0.85
 
 
+def _blocks_for(mat_ds: Dataset) -> int:
+    """Block count proportional to a materialized Dataset's ACTUAL
+    bytes (floor 1). Ray's sort-shuffle cost scales with block COUNT
+    and every groupby output inherits its input's count, so without a
+    bound the iteration DAG gains the edge-table's block count every
+    round (measured at sf0.1: 192 → 320 → 448 union blocks, 6.5 →
+    17 s per iteration; bounding restored flat ~2 s iterations). At
+    real scale size_bytes/target_max_block_size dominates and the
+    repartition keeps blocks AT the configured target, so this is a
+    floor on tiny tables, not a cap on big ones."""
+    from ray.data import DataContext
+
+    tgt = DataContext.get_current().target_max_block_size or (128 << 20)
+    size = mat_ds.size_bytes() or 0
+    return max(1, int((size + tgt - 1) // tgt))
+
+
 def _directed_edges(pairs: Dataset, src_field: str,
                     dst_field: str) -> Dataset:
     """Each undirected (a, b) pair as both directed edges (null
@@ -120,10 +137,15 @@ def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
                        ("_deg", pa.int64())]))
 
     # materialized once: every iteration re-reads the degree-carrying
-    # edge table (bounded by edge count; the object store spills it)
+    # edge table (bounded by edge count; the object store spills it).
+    # Repartitioned to its size-proportional block count first — the
+    # attach groupby emits one block per input block, and block count
+    # is the sort-shuffle cost driver every iteration pays (_blocks_for)
     edges_deg = sharded_cogroup(edges, deg, ["_src", "_dst"],
                                 ["_src", "_deg"], "_src", _UNION_TYPES,
-                                n_shards, attach_deg).materialize()
+                                n_shards, attach_deg) \
+        .repartition(_blocks_for(edges)).materialize()
+    rank_blocks = _blocks_for(deg)
 
     # r0: one row per node (deg doubles as the node table), rank=scale
     ranks = deg.map_batches(
@@ -152,13 +174,20 @@ def pagerank_topk(pairs: Dataset, *, k: int = 25, iterations: int = 3,
                             n_shards, contrib),
             ["_dst"], "_c", alias="_c", mode="shuffle")
         # every node has in-degree ≥ 1 (undirected doubling), so the
-        # summed table covers the full node set — no outer re-join
+        # summed table covers the full node set — no outer re-join.
+        # NOT materialized: ranks has exactly one consumer (the next
+        # iteration's co-group, or the final top-k) and the next
+        # grouped_sum's internal materialize already forces execution.
+        # Repartitioned to the node table's size-proportional count:
+        # the groupby would otherwise hand the next iteration one
+        # block per UNION input block and the DAG's block count (=
+        # sort cost) would grow every round (_blocks_for)
         ranks = summed.map_batches(
             lambda b: pa.table({
                 "_src": b["_dst"].combine_chunks(),
                 "_r": pa.array(base + b["_c"].to_numpy(
                     zero_copy_only=False), pa.int64())}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow").repartition(rank_blocks)
 
     out = ranks.map_batches(
         lambda b: pa.table({id_out: b["_src"].combine_chunks(),
