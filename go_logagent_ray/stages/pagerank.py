@@ -1,7 +1,8 @@
 """PageRank centrality over an edge-pair Dataset (Brin & Page 1998 —
 public method) as a fixed-iteration, fixed-point-INTEGER power
 iteration, so the oracle is bit-exact (the repo's exact-mode
-convention: see bm25/_LM_SCORE_SPEC for the same pattern).
+convention: ``stages/bm25.py`` and ``queries._LM_SCORE_SPEC`` follow
+the same pattern).
 
 Built for the near-dup graph the dedup family mines (charset-Jaccard /
 MinHash pairs): within a duplicate cluster, PageRank ranks members by
