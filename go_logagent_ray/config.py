@@ -319,7 +319,41 @@ def _sample(conf: dict):
 
     return sample_batch_fn(
         key=conf["key"], percent=int(conf["percent"]),
-        method=conf.get("method", "hash")), {}
+        method=conf.get("method", "hash"),
+        seed=int(conf.get("seed", 0))), {}
+
+
+@register_stage("split")
+def _split(conf: dict):
+    """Deterministic train/val/test split column from percentage
+    buckets (ADDS ``out``, default 'split'; pure per-row map). Give
+    CHAINED sample/stratified/split stages on one key DISTINCT
+    ``seed`` values or their hash buckets correlate (see
+    stages/sample.py::_buckets)."""
+    from .stages.sample import split_assign
+
+    kw = dict(key=conf["key"],
+              splits={k: int(v) for k, v in conf["splits"].items()}
+              if "splits" in conf else None,
+              method=conf.get("method", "hash"),
+              out=conf.get("out", "split"),
+              seed=int(conf.get("seed", 0)))
+    return DatasetStage(lambda ds: split_assign(ds, **kw)), {}
+
+
+@register_stage("stratified")
+def _stratified(conf: dict):
+    """Per-group keep rates (corpus rebalancing / domain mixing —
+    e.g. keep 50% of 'web', 100% of 'chat'); pure per-row filter.
+    Seed chained bucketings distinctly (see the split stage note)."""
+    from .stages.sample import stratified_sample
+
+    kw = dict(key=conf["key"], group=conf["group"],
+              rates={k: int(v) for k, v in conf["rates"].items()},
+              default_percent=int(conf.get("default_percent", 0)),
+              method=conf.get("method", "hash"),
+              seed=int(conf.get("seed", 0)))
+    return DatasetStage(lambda ds: stratified_sample(ds, **kw)), {}
 
 
 class Pipeline:

@@ -30,7 +30,14 @@ from ray.data import Dataset
 from ..functions.arrow_utils import as_combined, set_column
 
 
-def _buckets(keys: pa.Array, method: str) -> np.ndarray:
+def _buckets(keys: pa.Array, method: str, seed: int = 0) -> np.ndarray:
+    """``seed`` decorrelates CHAINED bucketings on the same key: a
+    stratified keep-filter followed by a split on one key would
+    otherwise reuse the identical bucket per row (keep < 30 then
+    split < 80 puts EVERY survivor in the first split). Only the hash
+    method seeds; modulo is the SQL-oracle mode and stays seedless
+    (a seeded modulo would silently diverge from ``key % 100``)."""
+    _validate_method_seed(method, seed)
     if method == "modulo":
         k = keys.to_numpy(zero_copy_only=False).astype(np.int64)
         # C-style (sign-preserving) remainder, matching SQL's % — numpy's
@@ -42,20 +49,34 @@ def _buckets(keys: pa.Array, method: str) -> np.ndarray:
 
         from ..functions.hashing import stable_hash64
 
-        h = stable_hash64(pl.Series(pl.from_arrow(keys)).cast(pl.Utf8))
+        h = stable_hash64(pl.Series(pl.from_arrow(keys)).cast(pl.Utf8),
+                          seed=int(seed))
         return (h % np.uint64(100)).astype(np.int64)
     raise ValueError(f"unknown sampling method {method!r}")
 
 
+def _validate_method_seed(method: str, seed: int) -> None:
+    """Driver-side (stage-construction-time) check so a bad combo
+    fails as a plain ValueError, not a RayTaskError mid-pipeline."""
+    if method not in ("modulo", "hash"):
+        raise ValueError(f"unknown sampling method {method!r}")
+    if method == "modulo" and seed:
+        raise ValueError(
+            "seed requires method='hash' (modulo is the oracle-"
+            "mirrorable key % 100 and cannot be reseeded)")
+
+
 def split_assign(ds: Dataset, key: str,
                  splits: dict[str, int] | None = None,
-                 method: str = "hash", out: str = "split") -> Dataset:
+                 method: str = "hash", out: str = "split",
+                 seed: int = 0) -> Dataset:
     """Adds ``split:string`` from percentage buckets, e.g.
     ``{"train": 80, "val": 10, "test": 10}`` (must sum to 100).
     Deterministic per key; no shuffle. Assignment is by cumulative-bound
     search (bucket < 80 → train, < 90 → val, …) so a NEGATIVE bucket
     (C-style remainder of a negative id) lands in the first split —
     exactly what the SQL CASE chain does."""
+    _validate_method_seed(method, seed)
     splits = splits or {"train": 80, "val": 10, "test": 10}
     if sum(splits.values()) != 100:
         raise ValueError("split percentages must sum to 100")
@@ -63,42 +84,45 @@ def split_assign(ds: Dataset, key: str,
     names = np.array(list(splits), dtype=object)
 
     def assign(batch: pa.Table) -> pa.Table:
-        b = _buckets(as_combined(batch[key]), method)
+        b = _buckets(as_combined(batch[key]), method, seed)
         idx = np.searchsorted(bounds, b, side="right")
         return set_column(batch, out, pa.array(names[idx], type=pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def sample_batch_fn(key: str, percent: int, method: str = "hash"):
+def sample_batch_fn(key: str, percent: int, method: str = "hash",
+                    seed: int = 0):
     """The per-batch keep-filter as a standalone callable — used by
     ``sample_fraction`` and registrable in config filter chains."""
+    _validate_method_seed(method, seed)
     if not 0 <= percent <= 100:
         raise ValueError("percent must be in [0, 100]")
 
     def keep(batch: pa.Table) -> pa.Table:
-        b = _buckets(as_combined(batch[key]), method)
+        b = _buckets(as_combined(batch[key]), method, seed)
         return batch.filter(pa.array(b < percent))
 
     return keep
 
 
 def sample_fraction(ds: Dataset, key: str, percent: int,
-                    method: str = "hash") -> Dataset:
+                    method: str = "hash", seed: int = 0) -> Dataset:
     """Keep rows whose bucket < percent — a reproducible ~percent% sample
     (exact for modulo keying on dense ids)."""
-    return ds.map_batches(sample_batch_fn(key, percent, method),
+    return ds.map_batches(sample_batch_fn(key, percent, method, seed),
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
 def stratified_sample(ds: Dataset, key: str, group: str,
                       rates: dict[str, int], default_percent: int = 0,
-                      method: str = "hash") -> Dataset:
+                      method: str = "hash", seed: int = 0) -> Dataset:
     """Per-group sampling rates (corpus rebalancing: e.g. keep 50% of
     'en', 10% of 'zh', 25% of everything else).  Same deterministic
     bucketing as ``sample_fraction`` but the keep-threshold varies per
     row by its ``group`` value — still a pure per-row predicate, no
     shuffle, reproducible under any partitioning."""
+    _validate_method_seed(method, seed)
     for g, pct in rates.items():
         if not 0 <= pct <= 100:
             raise ValueError(f"rate for {g!r} must be in [0, 100]")
@@ -106,7 +130,7 @@ def stratified_sample(ds: Dataset, key: str, group: str,
         raise ValueError("default_percent must be in [0, 100]")
 
     def keep(batch: pa.Table) -> pa.Table:
-        b = _buckets(as_combined(batch[key]), method)
+        b = _buckets(as_combined(batch[key]), method, seed)
         groups = as_combined(batch[group]).to_pylist()
         thresh = np.fromiter(
             (rates.get(g, default_percent) for g in groups),

@@ -225,6 +225,61 @@ def test_config_round3_stages_pii_chunk_sample_decontaminate():
     assert 4 not in set(chunks.doc_id)  # null text emits nothing
 
 
+def test_config_split_and_stratified_stages(ray_session):
+    """split_assign and stratified_sample compose through the config
+    registry (X1 parity): a split column plus per-source keep rates,
+    both on deterministic modulo buckets so the expectation is exact."""
+    from go_logagent_ray.config import Pipeline
+
+    cfg = {
+        "input": {"type": "items", "items": [
+            {"doc_id": i, "src": "web" if i % 2 else "chat"}
+            for i in range(10)
+        ]},
+        "filters": [
+            # modulo buckets on dense 0..9 ids: bucket == doc_id
+            {"type": "stratified", "key": "doc_id", "group": "src",
+             "rates": {"web": 100, "chat": 4}, "method": "modulo"},
+            {"type": "split", "key": "doc_id", "method": "modulo",
+             "splits": {"train": 5, "val": 95}},
+        ],
+        "outputs": [],
+    }
+    p = Pipeline.from_config(cfg)
+    rows = {(r["doc_id"], r["split"])
+            for r in p.transform(p.read()).take_all()}
+    # chat (even ids) keeps buckets < 4 → {0, 2}; web (odd) keeps all;
+    # split: bucket < 5 → train, else val
+    assert rows == {(0, "train"), (2, "train"), (1, "train"), (3, "train"),
+                    (5, "val"), (7, "val"), (9, "val")}
+
+
+def test_chained_bucketing_decorrelates_with_seed(ray_session):
+    """A keep-filter then a split on the SAME key reuse identical hash
+    buckets (every survivor of keep<30 satisfies split<80 → all
+    'train'); a distinct seed on the second stage decorrelates them.
+    Also pins the loud modulo+seed rejection."""
+    import pytest
+    import ray.data as rd
+
+    from go_logagent_ray.stages.sample import (sample_fraction,
+                                               split_assign)
+
+    ds = rd.range(2000).map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow")
+    kept = sample_fraction(ds, "doc_id", 30)
+    same = split_assign(kept, "doc_id",
+                        {"train": 80, "val": 20}).to_pandas()
+    assert set(same["split"]) == {"train"}  # the correlation trap
+    seeded = split_assign(kept, "doc_id", {"train": 80, "val": 20},
+                          seed=7).to_pandas()
+    counts = seeded["split"].value_counts().to_dict()
+    assert counts.get("val", 0) > 0  # decorrelated: both splits hit
+    with pytest.raises(ValueError, match="modulo"):
+        split_assign(ds, "doc_id", {"train": 80, "val": 20},
+                     method="modulo", seed=7).to_pandas()
+
+
 def test_config_multiline_and_throttle_stages(ray_session):
     """The two §2 filters added in r4 compose through the config
     registry (X1 parity): a multiline codec chained into a throttle,
