@@ -268,32 +268,42 @@ def _wau(conf: dict):
 @register_stage("dsir")
 def _dsir(conf: dict):
     """DSIR importance-resampling selection — REPLACES the stream with
-    the top-k raw-pool (id, weight) rows; terminal selector stage."""
+    the top-k raw-pool (id, weight) rows; terminal selector stage.
+    Input materialized: dsir_select is two-pass (feature-LM fit then
+    scoring) and would otherwise re-run the upstream chain per pass."""
     from .stages.dsir import dsir_select
 
-    kw = dict(id_field=conf.get("id", "doc_id"),
+    kw = dict(id_field=conf.get("id_field", conf.get("id", "doc_id")),
               text_field=conf.get("field", "text"),
               k=int(conf.get("k", 25)),
               n_buckets=int(conf.get("n_buckets", 4096)),
               target_mod=int(conf.get("target_mod", 13)),
               hash_mode=conf.get("hash_mode", "fast"))
-    return DatasetStage(lambda ds: dsir_select(ds, **kw)), {}
+    return DatasetStage(lambda ds: dsir_select(ds.materialize(),
+                                               **kw)), {}
 
 
 @register_stage("bm25")
 def _bm25(conf: dict):
     """BM25 ranked retrieval — REPLACES the stream with the top-k
     (id, score_q) rows for the configured query terms; terminal
-    retrieval stage."""
+    retrieval stage. The input is materialized first: bm25_topk is
+    two-pass (census then scoring) and would otherwise re-execute the
+    whole upstream filter chain per pass."""
     from .stages.bm25 import bm25_topk
 
-    kw = dict(query_terms=list(conf["query"]),
+    q = conf["query"]
+    if isinstance(q, str):
+        # list('hash') would silently become per-CHARACTER terms
+        raise ValueError("bm25 'query' must be a list of terms, "
+                         f"got the string {q!r}")
+    kw = dict(query_terms=list(q),
               k=int(conf.get("k", 25)),
               text_field=conf.get("field", "text"),
-              id_field=conf.get("id", "doc_id"),
+              id_field=conf.get("id_field", conf.get("id", "doc_id")),
               scale=int(conf.get("scale", 1000)),
               mode=conf.get("mode", "exact"))
-    return DatasetStage(lambda ds: bm25_topk(ds, **kw)), {}
+    return DatasetStage(lambda ds: bm25_topk(ds.materialize(), **kw)), {}
 
 
 @register_stage("pagerank")
